@@ -1,0 +1,212 @@
+"""Core data types: Gaussians pytree, Camera, RenderConfig, validation.
+
+TPU-native re-design of the reference's data model
+(reference: include/gr/gaussian_types.h:8-46 `GaussiansHost`/`RenderParams`,
+python/torch_renderer.py:10-13 `Camera`). Differences from the reference are
+deliberate TPU choices:
+
+  * Arrays are JAX arrays in a registered-dataclass pytree, so a `Gaussians`
+    flows through `jit` / `grad` / `vmap` / shardings directly.
+  * A fixed-capacity `alive` mask replaces dynamic N (the reference reallocates
+    on densify/prune, fit_multiview_stub.py:140-197; under jit a shape change
+    is a recompile, so capacity + mask is the idiomatic XLA answer).
+  * Validation mirrors the reference binding contract (bindings.cpp:15-70:
+    float32, (N,3)/(N,)/(4,4) shapes, matching N) at the Python API boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _register(cls, data_fields, meta_fields=()):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
+    )
+    return cls
+
+
+@dataclass(frozen=True)
+class Camera:
+    """A pinhole camera as row-major 4x4 view and projection matrices.
+
+    Matches the reference convention (torch_renderer.py:10-13): `view` maps
+    object space to camera space (camera looks down -z), `proj` is an
+    OpenGL-style perspective matrix. Both float32 (4,4); may carry a leading
+    batch dimension (V,4,4) for multi-view batches.
+    """
+
+    view: Array
+    proj: Array
+
+    def __getitem__(self, idx) -> "Camera":
+        return Camera(view=self.view[idx], proj=self.proj[idx])
+
+    @property
+    def batched(self) -> bool:
+        return self.view.ndim == 3
+
+    def num_views(self) -> int:
+        return self.view.shape[0] if self.batched else 1
+
+
+_register(Camera, ["view", "proj"])
+
+
+@dataclass(frozen=True)
+class Gaussians:
+    """Activated (render-ready) Gaussian set at fixed capacity C.
+
+    Fields (all float32):
+      means:     (C, 3) world-space centers
+      scales:    (C, 3) world-space axis scales (positive; z unused by the
+                 axis-aligned footprint model, kept for schema parity with
+                 gaussian_types.h:10)
+      opacities: (C,)   in [0, 1]
+      colors:    (C, 3) RGB in [0, 1], or None when `sh` is set
+      sh:        (C, 4, 3) SH degree-1 coefficients [dc, c1x, c1y, c1z], or None
+      alive:     (C,) float32 {0,1} mask; None means all alive
+
+    Exactly one of `colors` / `sh` is non-None (torch_renderer.py:86-106
+    contract).
+    """
+
+    means: Array
+    scales: Array
+    opacities: Array
+    colors: Optional[Array] = None
+    sh: Optional[Array] = None
+    alive: Optional[Array] = None
+
+    @property
+    def capacity(self) -> int:
+        return self.means.shape[0]
+
+    @property
+    def use_sh(self) -> bool:
+        return self.sh is not None
+
+    def alive_mask(self) -> Array:
+        if self.alive is None:
+            return jnp.ones((self.capacity,), dtype=jnp.float32)
+        return self.alive.astype(jnp.float32)
+
+    def num_alive(self) -> Array:
+        return jnp.sum(self.alive_mask()).astype(jnp.int32)
+
+    def replace(self, **kw) -> "Gaussians":
+        return dataclasses.replace(self, **kw)
+
+
+_register(Gaussians, ["means", "scales", "opacities", "colors", "sh", "alive"])
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering configuration (hashable; safe as a jit static arg).
+
+    Mirrors the reference knobs: width/height/background
+    (gaussian_types.h:26-35), depth_sort mode + slices (:36-43), plus
+    TPU-specific implementation selection.
+
+    mode:
+      "accum"  — order-independent weighted-average compositing, the
+                 differentiable path (torch_renderer.py:192-196 semantics).
+      "sorted" — global depth sort + front-to-back alpha compositing
+                 (renderer_cpu.cpp:125-217 semantics); forward-quality path.
+    impl:
+      "auto"   — pallas on TPU, jnp elsewhere
+      "jnp"    — pure-jnp oracle implementation
+      "pallas" — fused Pallas kernels with hand-written VJP
+    """
+
+    width: int = 800
+    height: int = 600
+    background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    mode: str = "accum"
+    impl: str = "auto"
+    chunk_size: int = 256  # Gaussian block size for the jnp/scan path
+    return_aux: bool = False  # also return (alpha, depth)
+
+    def __post_init__(self):
+        if self.mode not in ("accum", "sorted"):
+            raise ValueError(f"mode must be 'accum' or 'sorted', got {self.mode!r}")
+        if self.impl not in ("auto", "jnp", "pallas"):
+            raise ValueError(f"impl must be auto/jnp/pallas, got {self.impl!r}")
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("width/height must be positive")
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    def background_array(self) -> Array:
+        return jnp.asarray(self.background, dtype=jnp.float32)
+
+
+def _check_f32(name: str, x, shape_desc: str) -> None:
+    if x.dtype != jnp.float32 and x.dtype != np.float32:
+        raise ValueError(f"{name} must be float32 (contract of bindings.cpp:15-25), got {x.dtype}")
+
+
+def validate_gaussians(g: Gaussians) -> None:
+    """Shape/dtype contract mirroring the reference pybind validation
+    (bindings.cpp:41-70) plus the SH variant (torch_renderer.py:91-106)."""
+    if g.means.ndim != 2 or g.means.shape[1] != 3:
+        raise ValueError(f"means must be (N,3), got {g.means.shape}")
+    n = g.means.shape[0]
+    if g.scales.shape != (n, 3):
+        raise ValueError(f"scales must be ({n},3), got {g.scales.shape}")
+    if g.opacities.shape != (n,):
+        raise ValueError(f"opacities must be ({n},), got {g.opacities.shape}")
+    if (g.colors is None) == (g.sh is None):
+        raise ValueError("exactly one of colors / sh must be set")
+    if g.colors is not None and g.colors.shape != (n, 3):
+        raise ValueError(f"colors must be ({n},3), got {g.colors.shape}")
+    if g.sh is not None and g.sh.shape != (n, 4, 3):
+        raise ValueError(f"sh must be ({n},4,3), got {g.sh.shape}")
+    if g.alive is not None and g.alive.shape != (n,):
+        raise ValueError(f"alive must be ({n},), got {g.alive.shape}")
+    for name in ("means", "scales", "opacities"):
+        _check_f32(name, getattr(g, name), "")
+
+
+def validate_camera(c: Camera) -> None:
+    if c.view.shape[-2:] != (4, 4) or c.proj.shape[-2:] != (4, 4):
+        raise ValueError(
+            f"view/proj must be (...,4,4), got {c.view.shape}/{c.proj.shape}"
+        )
+    if c.view.shape != c.proj.shape:
+        raise ValueError("view and proj must have matching batch shape")
+
+
+def make_gaussians(
+    means,
+    scales,
+    opacities,
+    colors=None,
+    sh=None,
+    alive=None,
+    validate: bool = True,
+) -> Gaussians:
+    """Construct a Gaussians pytree from array-likes, coercing to float32."""
+    f32 = partial(jnp.asarray, dtype=jnp.float32)
+    g = Gaussians(
+        means=f32(means),
+        scales=f32(scales),
+        opacities=f32(opacities).reshape(-1),
+        colors=None if colors is None else f32(colors),
+        sh=None if sh is None else f32(sh),
+        alive=None if alive is None else f32(alive),
+    )
+    if validate:
+        validate_gaussians(g)
+    return g

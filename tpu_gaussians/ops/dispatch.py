@@ -1,0 +1,96 @@
+"""Public render entry point with implementation dispatch.
+
+The TPU analog of the reference's backend dispatch
+(renderer_dispatch.cpp:5-21): instead of a compile-time CUDA flag +
+`force_cpu`, a RenderConfig.impl of "auto"/"jnp"/"pallas" selects between
+the pure-jnp oracle and the fused Pallas kernels; "auto" picks Pallas on
+TPU and jnp elsewhere. Both implementations are differentiable and agree
+to float tolerance (enforced by tests/test_pallas_parity.py).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from tpu_gaussians.core.types import (
+    Array,
+    Camera,
+    Gaussians,
+    RenderConfig,
+    validate_camera,
+    validate_gaussians,
+)
+from tpu_gaussians.ops import jnp_renderer
+from tpu_gaussians.ops.common import prepare_splats, resolve_accum
+from tpu_gaussians.ops.projection import camera_z
+
+
+def _resolve_impl(impl: str) -> str:
+    if impl != "auto":
+        return impl
+    return "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+
+def render_accum(
+    g: Gaussians, view: Array, proj: Array, config: RenderConfig
+) -> Tuple[Array, Array, Array]:
+    """Weighted-average mode -> (image, alpha, depth). Differentiable."""
+    s = prepare_splats(g, view, proj, config.width, config.height)
+    impl = _resolve_impl(config.impl)
+    if impl == "pallas":
+        from tpu_gaussians.ops.pallas import splat as pallas_splat
+
+        acc = pallas_splat.splat_accumulate(
+            s, config.height, config.width
+        )
+    else:
+        acc = jnp_renderer.accumulate_jnp(
+            s, config.height, config.width, chunk=config.chunk_size
+        )
+    return resolve_accum(
+        acc, config.background_array(), config.height, config.width
+    )
+
+
+def render_sorted(
+    g: Gaussians, view: Array, proj: Array, config: RenderConfig
+) -> Tuple[Array, Array]:
+    """Depth-sorted front-to-back mode -> (image, alpha)."""
+    s = prepare_splats(g, view, proj, config.width, config.height)
+    z = camera_z(g.means, view)
+    return jnp_renderer.composite_sorted(
+        s, z, config.background_array(), config.height, config.width,
+        chunk=min(config.chunk_size, 64),
+    )
+
+
+def render(
+    gaussians: Gaussians,
+    camera: Camera,
+    config: RenderConfig,
+    validate: bool = False,
+) -> Union[Array, Tuple[Array, ...]]:
+    """Render a Gaussian set from one camera (or a batched camera via vmap).
+
+    Returns image (H,W,3), or (image, alpha, depth) when
+    config.return_aux (depth only defined for mode="accum"; sorted mode
+    returns (image, alpha)). With a batched Camera (V,4,4) all outputs gain
+    a leading V axis.
+    """
+    if validate:
+        validate_gaussians(gaussians)
+        validate_camera(camera)
+
+    def render_one(view, proj):
+        if config.mode == "sorted":
+            image, alpha = render_sorted(gaussians, view, proj, config)
+            return (image, alpha) if config.return_aux else image
+        image, alpha, depth = render_accum(gaussians, view, proj, config)
+        return (image, alpha, depth) if config.return_aux else image
+
+    if camera.batched:
+        return jax.vmap(render_one)(camera.view, camera.proj)
+    return render_one(camera.view, camera.proj)
