@@ -1,0 +1,168 @@
+"""Densify & prune at fixed capacity — jit-compatible, no reallocations.
+
+Reproduces the reference algorithm (fit_multiview_stub.py:140-197
+`_densify_and_prune`) on fixed-capacity arrays with an alive mask:
+
+  prune:   keep alive rows with sigmoid(op_raw) > prune_opacity; if fewer
+           than 64 survive, keep the top-min(64, n_alive) by opacity (:153-157)
+  compact: survivors move to the front, order preserved (the masked analog
+           of the reference's boolean-index gather :159-163)
+  densify: add_n = min(capacity - n, floor(n * densify_ratio)) (:166-167);
+           clone the top-add_n ranked Gaussians with positional jitter
+           0.25 * scales * N(0,1) (:170-172), child opacity_raw -= 0.1 (:174)
+
+Everything is gather/scatter at capacity C — shapes never change, so the
+train step never recompiles (SURVEY.md §7 "Densify/prune under jit").
+
+Clone ranking: `clone_metric="opacity"` matches the reference (:170);
+`"grad"` ranks by the accumulated positional-gradient norm from TrainState
+(the BASELINE north-star upgrade, like the original 3DGS paper's
+densify-by-gradient criterion).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_gaussians.core.types import Array
+from tpu_gaussians.models.gaussian_model import RawParams
+
+
+@dataclass(frozen=True)
+class DensifyConfig:
+    """Defaults match the reference CLI (fit_multiview_stub.py:217-220)."""
+
+    densify_interval: int = 80
+    prune_interval: int = 80
+    densify_ratio: float = 0.15
+    prune_opacity: float = 0.05
+    min_keep: int = 64            # survivor floor (:154-157)
+    clone_metric: str = "opacity"  # "opacity" (reference) | "grad"
+    jitter_scale: float = 0.25     # positional jitter factor (:171)
+
+
+def _inverse_permutation(perm: Array) -> Array:
+    """pos[i] = rank of row i under perm (perm sorted-best-first)."""
+    c = perm.shape[0]
+    return jnp.zeros((c,), jnp.int32).at[perm].set(jnp.arange(c, dtype=jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("densify_ratio", "prune_opacity",
+                                   "min_keep", "clone_metric", "jitter_scale"))
+def _densify_and_prune_impl(
+    raw: RawParams,
+    grad_norm_accum: Array,
+    grad_steps: Array,
+    key: Array,
+    densify_ratio: float,
+    prune_opacity: float,
+    min_keep: int,
+    clone_metric: str,
+    jitter_scale: float,
+) -> Tuple[RawParams, dict]:
+    c = raw.capacity
+    alive = raw.alive_mask() > 0.5
+    op = jax.nn.sigmoid(raw.opacities_raw)
+    op_rank = jnp.where(alive, op, -1.0)
+
+    # --- prune with survivor floor ---
+    n_alive = jnp.sum(alive)
+    keep_thresh = alive & (op > prune_opacity)
+    n_keep_thresh = jnp.sum(keep_thresh)
+
+    rank = jnp.argsort(-op_rank, stable=True)
+    pos = _inverse_permutation(rank)
+    floor_n = jnp.minimum(min_keep, n_alive)
+    top_mask = (pos < floor_n) & alive
+
+    keep = jnp.where(n_keep_thresh < min_keep, top_mask, keep_thresh)
+    n = jnp.sum(keep)
+
+    # --- order-preserving compaction: survivors to the front ---
+    order = jnp.argsort(jnp.logical_not(keep), stable=True)
+    gather = lambda a: None if a is None else a[order]
+    means = gather(raw.means)
+    scales_raw = gather(raw.scales_raw)
+    op_raw = gather(raw.opacities_raw)
+    colors_raw = gather(raw.colors_raw)
+    sh_raw = gather(raw.sh_raw)
+    grad_acc = grad_norm_accum[order]
+    alive_new = jnp.arange(c) < n
+
+    # --- clone selection ---
+    op_c = jax.nn.sigmoid(op_raw)
+    if clone_metric == "grad":
+        steps = jnp.maximum(grad_steps.astype(jnp.float32), 1.0)
+        metric = grad_acc / steps
+    else:
+        metric = op_c
+    metric = jnp.where(alive_new, metric, -1.0)
+
+    room = c - n
+    add_n = jnp.minimum(room, jnp.floor(n.astype(jnp.float32)
+                                        * densify_ratio).astype(jnp.int32))
+    add_n = jnp.maximum(add_n, 0)
+
+    src = jnp.argsort(-metric, stable=True)        # best-first source rows
+    j = jnp.arange(c, dtype=jnp.int32)
+    write_mask = j < add_n
+    dest = jnp.where(write_mask, n + j, c)         # c = out-of-bounds, dropped
+
+    scales_act = jax.nn.softplus(scales_raw) + 1e-3
+    noise = jax.random.normal(key, (c, 3), jnp.float32)
+    child_means = means[src] + jitter_scale * scales_act[src] * noise
+
+    def scatter(base, child_vals):
+        if base is None:
+            return None
+        return base.at[dest].set(child_vals, mode="drop")
+
+    new_raw = RawParams(
+        means=scatter(means, child_means),
+        scales_raw=scatter(scales_raw, scales_raw[src]),
+        opacities_raw=scatter(op_raw, op_raw[src] - 0.1),
+        colors_raw=scatter(colors_raw,
+                           None if colors_raw is None else colors_raw[src]),
+        sh_raw=scatter(sh_raw, None if sh_raw is None else sh_raw[src]),
+        alive=(j < n + add_n).astype(jnp.float32),
+    )
+
+    stats = {
+        "n_before": n_alive.astype(jnp.int32),
+        "n_pruned": (n_alive - n).astype(jnp.int32),
+        "n_cloned": add_n.astype(jnp.int32),
+        "n_after": (n + add_n).astype(jnp.int32),
+    }
+    return new_raw, stats
+
+
+def densify_and_prune(
+    raw: RawParams,
+    key: Array,
+    config: DensifyConfig,
+    *,
+    densify_ratio: Optional[float] = None,
+    grad_norm_accum: Optional[Array] = None,
+    grad_steps: Optional[Array] = None,
+) -> Tuple[RawParams, dict]:
+    """Run one densify/prune pass. `densify_ratio` overrides the config
+    value (the reference zeroes it when only the prune interval fires,
+    fit_multiview_stub.py:322)."""
+    ratio = config.densify_ratio if densify_ratio is None else densify_ratio
+    if grad_norm_accum is None:
+        grad_norm_accum = jnp.zeros((raw.capacity,), jnp.float32)
+    if grad_steps is None:
+        grad_steps = jnp.zeros((), jnp.int32)
+    return _densify_and_prune_impl(
+        raw, grad_norm_accum, grad_steps, key,
+        densify_ratio=float(ratio),
+        prune_opacity=float(config.prune_opacity),
+        min_keep=int(config.min_keep),
+        clone_metric=str(config.clone_metric),
+        jitter_scale=float(config.jitter_scale),
+    )

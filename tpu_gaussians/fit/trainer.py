@@ -1,0 +1,177 @@
+"""Fitting orchestration: the L4 layer (reference: fit_multiview_stub.main,
+:200-382) as a reusable library entry.
+
+Drives the jitted train step, fires densify/prune on the reference's
+intervals with the reference's optimizer-reset semantics (:318-325), logs
+loss (print cadence + loss.txt + structured metrics.jsonl), and emits the
+three reference artifacts: gaussians_fitted.npz / loss.txt /
+preview_view0.png (:339-380).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_gaussians.core import camera as cam
+from tpu_gaussians.core.types import Camera, RenderConfig
+from tpu_gaussians.fit.densify import DensifyConfig, densify_and_prune
+from tpu_gaussians.fit.loss import LossConfig
+from tpu_gaussians.fit.step import (
+    init_state,
+    make_optimizer,
+    make_train_step,
+    reset_optimizer,
+)
+from tpu_gaussians.io import image as im
+from tpu_gaussians.io.npz import save_raw_npz
+from tpu_gaussians.models.gaussian_model import activate, init_params
+from tpu_gaussians.utils.config import FitConfig
+
+
+@dataclass
+class FitResult:
+    raw: object
+    loss_log: list
+    cameras: Camera
+    wall_time_s: float
+
+
+def load_dataset(config: FitConfig):
+    """Targets + optional masks/depths + cameras, as device-ready arrays."""
+    paths = im.list_target_paths(config.targets_dir)
+    targets = im.load_targets(paths, config.width, config.height)
+
+    masks = im.load_optional_stem_matched(
+        paths, config.masks_dir or None, config.width, config.height
+    )
+    if masks is None and config.silhouette_weight > 0.0:
+        masks = im.estimate_masks(targets, config.mask_thresh)
+    depths = im.load_optional_stem_matched(
+        paths, config.depth_dir or None, config.width, config.height
+    )
+
+    if config.camera_npz:
+        cameras = cam.load_cameras_npz(config.camera_npz, len(paths))
+        print("Using camera poses from camera_npz")
+    else:
+        cameras = cam.orbit_cameras(len(paths), config.width, config.height)
+        print("Using fallback orbit cameras (for best quality, provide camera_npz)")
+    return targets, masks, depths, cameras
+
+
+def fit(
+    config: FitConfig,
+    targets: np.ndarray,
+    cameras: Camera,
+    masks: Optional[np.ndarray] = None,
+    depths: Optional[np.ndarray] = None,
+    out_dir: Optional[Path] = None,
+) -> FitResult:
+    """Run the full fitting loop. targets (V,H,W,3); masks/depths (V,H,W)."""
+    v = targets.shape[0]
+    has_masks = masks is not None and config.silhouette_weight > 0.0
+    has_depths = depths is not None and config.depth_weight > 0.0
+
+    targets_j = jnp.asarray(targets, jnp.float32)
+    masks_j = (jnp.asarray(masks, jnp.float32) if has_masks
+               else jnp.zeros((v, config.height, config.width), jnp.float32))
+    depths_j = (jnp.asarray(depths, jnp.float32) if has_depths
+                else jnp.zeros((v, config.height, config.width), jnp.float32))
+
+    render_config = RenderConfig(
+        width=config.width, height=config.height, impl=config.impl,
+        return_aux=True,
+    )
+    loss_config = LossConfig(
+        silhouette_weight=config.silhouette_weight,
+        depth_weight=config.depth_weight,
+        reg_opacity=config.reg_opacity,
+        reg_scale=config.reg_scale,
+    )
+    densify_config = DensifyConfig(
+        densify_interval=config.densify_interval,
+        prune_interval=config.prune_interval,
+        densify_ratio=config.densify_ratio,
+        prune_opacity=config.prune_opacity,
+        clone_metric=config.clone_metric,
+    )
+
+    key = jax.random.PRNGKey(config.seed)
+    key, k_init = jax.random.split(key)
+    capacity = max(config.max_gaussians, config.num_gaussians)
+    raw = init_params(k_init, config.num_gaussians, capacity, config.use_sh)
+
+    tx = make_optimizer(config.lr)
+    state = init_state(raw, tx)
+    step_fn = make_train_step(tx, render_config, loss_config,
+                              has_masks, has_depths)
+
+    metrics_file = None
+    if out_dir is not None and config.metrics_jsonl:
+        out_dir.mkdir(parents=True, exist_ok=True)
+        metrics_file = (out_dir / "metrics.jsonl").open("w")
+
+    loss_log = []
+    t0 = time.perf_counter()
+    for it in range(config.iters):
+        state, metrics = step_fn(state, cameras, targets_j, masks_j, depths_j)
+
+        lv = float(metrics["loss"])
+        loss_log.append(lv)
+        if it == 0 or (it + 1) % config.log_every == 0:
+            n = int(metrics["n_alive"])
+            print(f"iter {it+1:4d}  loss={lv:.6f}  N={n}")
+        if metrics_file is not None:
+            metrics_file.write(json.dumps(
+                {"step": it + 1,
+                 **{k: float(vv) for k, vv in metrics.items()},
+                 "wall_s": time.perf_counter() - t0}
+            ) + "\n")
+
+        densify_fires = (it + 1) % config.densify_interval == 0
+        prune_fires = (it + 1) % config.prune_interval == 0
+        if densify_fires or prune_fires:
+            key, k_d = jax.random.split(key)
+            ratio = config.densify_ratio if densify_fires else 0.0
+            new_raw, dstats = densify_and_prune(
+                state.raw, k_d, densify_config, densify_ratio=ratio,
+                grad_norm_accum=state.grad_norm_accum,
+                grad_steps=state.grad_steps,
+            )
+            state = init_state(new_raw, tx)  # fresh Adam, :325
+
+    wall = time.perf_counter() - t0
+    if metrics_file is not None:
+        metrics_file.close()
+
+    return FitResult(raw=state.raw, loss_log=loss_log, cameras=cameras,
+                     wall_time_s=wall)
+
+
+def write_artifacts(
+    out_dir: Path, result: FitResult, config: FitConfig
+) -> None:
+    """Emit the reference's three artifacts (fit_multiview_stub.py:339-380)."""
+    out_dir.mkdir(parents=True, exist_ok=True)
+    save_raw_npz(out_dir / "gaussians_fitted.npz", result.raw)
+    (out_dir / "loss.txt").write_text(
+        "\n".join(f"{v:.8f}" for v in result.loss_log), encoding="utf-8"
+    )
+
+    g = activate(result.raw)
+    cam0 = result.cameras[0] if result.cameras.batched else result.cameras
+    render_config = RenderConfig(
+        width=config.width, height=config.height, impl=config.impl,
+    )
+    from tpu_gaussians.ops.dispatch import render
+
+    pred0 = render(g, cam0, render_config)
+    im.save_image_png(out_dir / "preview_view0.png", np.asarray(pred0))

@@ -1,0 +1,137 @@
+"""Raw (pre-activation) Gaussian parameterization at fixed capacity.
+
+Re-designs the reference's dynamically-sized parameter dict
+(fit_multiview_stub.py:114-137 `_build_params`) as a fixed-capacity pytree
+with an alive mask, so the jit-compiled train step never changes shape when
+densify/prune runs. Activation functions match the reference exactly:
+
+  scales    = softplus(scales_raw) + 1e-3     (fit_multiview_stub.py:269)
+  opacities = sigmoid(opacities_raw)          (:270)
+  colors    = sigmoid(colors_raw)             (:275)
+  sh        = sh_raw (used directly)          (:273)
+
+Initial distributions (fit_multiview_stub.py:119-135):
+  means       ~ (U(0,1) - 0.5) * 1.2  = U(-0.6, 0.6)
+  scales_raw  = -2.2
+  opacities_raw = -2.2
+  colors_raw  ~ 0.1 * U(0,1)
+  sh_raw      = zeros, dc row = 0.1 * U(0,1)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_gaussians.core.types import Array, Gaussians
+
+
+@dataclass(frozen=True)
+class RawParams:
+    """Trainable leaves (all float32, capacity C rows; dead rows inert)."""
+
+    means: Array          # (C, 3)
+    scales_raw: Array     # (C, 3)
+    opacities_raw: Array  # (C,)
+    colors_raw: Optional[Array] = None  # (C, 3) xor sh_raw
+    sh_raw: Optional[Array] = None      # (C, 4, 3)
+    alive: Optional[Array] = None       # (C,) float32 {0,1}; non-trainable
+
+    @property
+    def capacity(self) -> int:
+        return self.means.shape[0]
+
+    @property
+    def use_sh(self) -> bool:
+        return self.sh_raw is not None
+
+    def alive_mask(self) -> Array:
+        if self.alive is None:
+            return jnp.ones((self.capacity,), dtype=jnp.float32)
+        return self.alive
+
+    def num_alive(self) -> Array:
+        return jnp.sum(self.alive_mask()).astype(jnp.int32)
+
+    def replace(self, **kw) -> "RawParams":
+        return dataclasses.replace(self, **kw)
+
+    def trainable(self) -> dict:
+        """The optimizer-visible leaves (excludes the alive mask), in the
+        spirit of the reference's params dict (fit_multiview_stub.py:123-135)."""
+        out = {
+            "means": self.means,
+            "scales_raw": self.scales_raw,
+            "opacities_raw": self.opacities_raw,
+        }
+        if self.use_sh:
+            out["sh_raw"] = self.sh_raw
+        else:
+            out["colors_raw"] = self.colors_raw
+        return out
+
+    def with_trainable(self, leaves: dict) -> "RawParams":
+        return self.replace(**leaves)
+
+
+jax.tree_util.register_dataclass(
+    RawParams,
+    data_fields=["means", "scales_raw", "opacities_raw", "colors_raw",
+                 "sh_raw", "alive"],
+    meta_fields=[],
+)
+
+
+def init_params(
+    key: Array, num_gaussians: int, capacity: int, use_sh: bool = False
+) -> RawParams:
+    """Random init matching the reference distributions, padded to capacity.
+
+    Rows [0, num_gaussians) are alive; the rest are zero-initialized dead
+    capacity for future densification.
+    """
+    if num_gaussians > capacity:
+        raise ValueError(f"num_gaussians {num_gaussians} > capacity {capacity}")
+    c = capacity
+    k_means, k_col = jax.random.split(key)
+
+    means = jnp.zeros((c, 3), jnp.float32)
+    means = means.at[:num_gaussians].set(
+        (jax.random.uniform(k_means, (num_gaussians, 3)) - 0.5) * 1.2
+    )
+    scales_raw = jnp.full((c, 3), -2.2, jnp.float32)
+    opacities_raw = jnp.full((c,), -2.2, jnp.float32)
+    alive = (jnp.arange(c) < num_gaussians).astype(jnp.float32)
+
+    if use_sh:
+        sh_raw = jnp.zeros((c, 4, 3), jnp.float32)
+        sh_raw = sh_raw.at[:num_gaussians, 0, :].set(
+            0.1 * jax.random.uniform(k_col, (num_gaussians, 3))
+        )
+        return RawParams(means=means, scales_raw=scales_raw,
+                         opacities_raw=opacities_raw, sh_raw=sh_raw,
+                         alive=alive)
+
+    colors_raw = jnp.zeros((c, 3), jnp.float32)
+    colors_raw = colors_raw.at[:num_gaussians].set(
+        0.1 * jax.random.uniform(k_col, (num_gaussians, 3))
+    )
+    return RawParams(means=means, scales_raw=scales_raw,
+                     opacities_raw=opacities_raw, colors_raw=colors_raw,
+                     alive=alive)
+
+
+def activate(raw: RawParams) -> Gaussians:
+    """Raw -> render-ready activated Gaussians (reference activations)."""
+    return Gaussians(
+        means=raw.means,
+        scales=jax.nn.softplus(raw.scales_raw) + 1e-3,
+        opacities=jax.nn.sigmoid(raw.opacities_raw),
+        colors=None if raw.use_sh else jax.nn.sigmoid(raw.colors_raw),
+        sh=raw.sh_raw if raw.use_sh else None,
+        alive=raw.alive_mask(),
+    )

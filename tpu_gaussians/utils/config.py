@@ -1,0 +1,62 @@
+"""The framework's config tree: every reference CLI flag, name and default
+preserved verbatim (fit_multiview_stub.py:201-229), plus TPU-specific knobs
+(impl, capacity behavior, sharding, checkpointing)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+
+@dataclass
+class FitConfig:
+    # Data / paths (fit_multiview_stub.py:202-206)
+    targets_dir: str = ""
+    out_dir: str = "outputs/fit_multiview"
+    camera_npz: str = ""
+    masks_dir: str = ""
+    depth_dir: str = ""
+
+    # Optimization (:208-213)
+    iters: int = 300
+    lr: float = 0.02
+    width: int = 128
+    height: int = 128
+    num_gaussians: int = 800
+    max_gaussians: int = 3000
+
+    # Appearance (:215)
+    use_sh: bool = False
+
+    # Densify / prune (:217-220)
+    densify_interval: int = 80
+    prune_interval: int = 80
+    densify_ratio: float = 0.15
+    prune_opacity: float = 0.05
+
+    # Loss stack (:222-227)
+    silhouette_weight: float = 0.2
+    mask_thresh: float = 0.06
+    depth_weight: float = 0.05
+    reg_opacity: float = 0.001
+    reg_scale: float = 0.001
+
+    # --- TPU-native extensions (no reference counterpart) ---
+    seed: int = 0
+    impl: str = "auto"            # renderer impl: auto | jnp | pallas
+    clone_metric: str = "opacity"  # densify ranking: opacity (reference) | grad
+    log_every: int = 25            # print cadence (reference prints every 25, :315)
+    checkpoint_every: int = 0      # 0 = only final artifacts (reference behavior)
+    resume: bool = False           # resume from latest checkpoint in out_dir
+    num_view_shards: int = 1       # views axis sharding over the device mesh
+    metrics_jsonl: bool = True     # structured per-step metrics to metrics.jsonl
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "FitConfig":
+        return FitConfig(**json.loads(text))
