@@ -75,6 +75,7 @@ def make_train_step(
     has_masks: bool,
     has_depths: bool,
     donate: bool = True,
+    jit: bool = True,
 ):
     """Build the jitted step(state, cameras, targets, masks, depths) fn.
 
@@ -120,5 +121,7 @@ def make_train_step(
         metrics["grad_norm_mean"] = jnp.mean(gnorm)
         return new_state, metrics
 
+    if not jit:
+        return step
     donate_argnums = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)

@@ -1,0 +1,304 @@
+"""Fused Pallas TPU kernels for the splat accumulation + hand-written VJP.
+
+The TPU-native replacement for both the reference's CUDA scatter kernels
+(renderer.cu:27-104 `splat_kernel`, :191-216 `finalize_kernel`) and the
+PyTorch autograd backward through the dense renderer
+(torch_renderer.py:167-190; gradient path documented at SURVEY.md §3.5).
+
+Design — a flash-attention-shaped *gather* formulation (TPUs have no fast
+global atomics, so CUDA's per-Gaussian atomicAdd scatter becomes a
+per-pixel-tile reduction):
+
+  forward   grid (pixel_tiles, gaussian_blocks):
+              w[i,p] = op_i * exp(-((gx_p-px_i)^2/sx_i^2 + (gy_p-py_i)^2/sy_i^2)/2)
+              acc[:, tile] += featsT_block @ w          (MXU)
+            The pixel-tile output block stays resident in VMEM across the
+            gaussian-block loop (grid revisiting), so HBM sees each output
+            tile exactly once — the analog of the CUDA DeviceBuffers
+            accumulator without the atomics or the H2D/D2H round trips.
+
+  backward  grid (gaussian_blocks, pixel_tiles), recompute-w (no O(N*HW)
+            residuals, like flash attention's dK/dV pass):
+              g_w    = feats_block @ g_acc8            (MXU)
+              g_feat = w @ g_accT                      (MXU)
+              g_e    = w * g_w
+              per-Gaussian sums over pixels:
+                g_px = sum_p g_e * dx / sx^2      g_sx = sum_p g_e * dx^2 / sx^3
+                g_py = sum_p g_e * dy / sy^2      g_sy = sum_p g_e * dy^2 / sy^3
+                g_op = sum_p exp(e) * g_w
+            accumulated in VMEM across pixel tiles per gaussian block.
+
+Everything upstream (projection, SH, activation) and downstream (resolve)
+is plain jnp traced by jax.grad; `jax.custom_vjp` splices these kernels in
+for exactly the O(N*HW) middle stage.
+
+Orientation notes: w is laid out (NB gaussians, TP pixels) so the pixel
+axis is the 128-lane dimension; per-Gaussian backward reductions are lane
+reductions. All block dims are multiples of (8, 128) f32 tiling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_gaussians.core.types import Array
+from tpu_gaussians.ops.common import FEAT_DIM, SplatInputs
+
+FEAT_PAD = 8    # feats padded to 8 rows/cols: [r, g, b, 1, z, 0, 0, 0]
+GRAD_COLS = 16  # bwd per-gaussian outputs: [g_px, g_py, g_sx, g_sy, g_op,
+                #  g_feat[0:8], pad] -> 13 used, padded to 16
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _tile_sizes(n: int, hw: int) -> Tuple[int, int]:
+    """(NB gaussians per block, TP pixels per tile), hardware-aligned."""
+    nb = min(512, _round_up(max(n, 1), 128))
+    tp = min(2048, _round_up(max(hw, 1), 128))
+    return nb, tp
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------- forward
+
+
+def _fwd_kernel(px_ref, py_ref, sx_ref, sy_ref, op_ref, featsT_ref,
+                acc_ref, *, width: int, tp: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    i = pl.program_id(0)
+    base = i * tp
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tp), dimension=1)
+    gx = (idx % width).astype(jnp.float32) + 0.5   # (1, TP)
+    gy = (idx // width).astype(jnp.float32) + 0.5
+
+    px = px_ref[:]          # (NB, 1)
+    py = py_ref[:]
+    inv_sx2 = 1.0 / (sx_ref[:] * sx_ref[:])
+    inv_sy2 = 1.0 / (sy_ref[:] * sy_ref[:])
+
+    dx = gx - px            # (NB, TP)
+    dy = gy - py
+    e = -0.5 * (dx * dx * inv_sx2 + dy * dy * inv_sy2)
+    w = op_ref[:] * jnp.exp(e)
+
+    acc_ref[:] += jnp.dot(
+        featsT_ref[:], w,
+        preferred_element_type=jnp.float32, precision="highest",
+    )
+
+
+def _fwd_call(px, py, sx, sy, op, featsT, hw_pad: int, width: int,
+              nb: int, tp: int) -> Array:
+    n_pad = px.shape[0]
+    grid = (hw_pad // tp, n_pad // nb)
+    gblock = lambda i, j: (j, 0)
+
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, width=width, tp=tp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # px
+            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # py
+            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # sx
+            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # sy
+            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # op
+            pl.BlockSpec((FEAT_PAD, nb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),                   # featsT
+        ],
+        out_specs=pl.BlockSpec((FEAT_PAD, tp), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((FEAT_PAD, hw_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * hw_pad * (FEAT_PAD + 6),
+            bytes_accessed=4 * (hw_pad * FEAT_PAD + n_pad * (5 + FEAT_PAD)),
+            transcendentals=n_pad * hw_pad,
+        ),
+        interpret=_interpret(),
+    )(px, py, sx, sy, op, featsT)
+
+
+# ---------------------------------------------------------------- backward
+
+
+def _bwd_kernel(px_ref, py_ref, sx_ref, sy_ref, op_ref, feats_ref,
+                g8_ref, gT_ref, out_ref, *, width: int, tp: int):
+    j = pl.program_id(1)  # pixel tile index (inner loop)
+
+    base = j * tp
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tp), dimension=1)
+    gx = (idx % width).astype(jnp.float32) + 0.5
+    gy = (idx // width).astype(jnp.float32) + 0.5
+
+    px = px_ref[:]                  # (NB, 1)
+    py = py_ref[:]
+    sx = sx_ref[:]
+    sy = sy_ref[:]
+    inv_sx2 = 1.0 / (sx * sx)
+    inv_sy2 = 1.0 / (sy * sy)
+
+    dx = gx - px                    # (NB, TP)
+    dy = gy - py
+    e = -0.5 * (dx * dx * inv_sx2 + dy * dy * inv_sy2)
+    exp_e = jnp.exp(e)
+    w = op_ref[:] * exp_e
+
+    # g_w[i,p] = sum_f feats[i,f] * g_acc[f,p]
+    g_w = jnp.dot(feats_ref[:], g8_ref[:],
+                  preferred_element_type=jnp.float32, precision="highest")
+    # g_feat[i,f] = sum_p w[i,p] * g_acc[f,p]
+    g_feat = jnp.dot(w, gT_ref[:],
+                     preferred_element_type=jnp.float32, precision="highest")
+
+    g_e = w * g_w
+    g_op = jnp.sum(exp_e * g_w, axis=1, keepdims=True)        # (NB, 1)
+    g_px = jnp.sum(g_e * dx * inv_sx2, axis=1, keepdims=True)
+    g_py = jnp.sum(g_e * dy * inv_sy2, axis=1, keepdims=True)
+    g_sx = jnp.sum(g_e * dx * dx * inv_sx2, axis=1, keepdims=True) / sx
+    g_sy = jnp.sum(g_e * dy * dy * inv_sy2, axis=1, keepdims=True) / sy
+
+    nb = g_feat.shape[0]
+    contrib = jnp.concatenate(
+        [g_px, g_py, g_sx, g_sy, g_op, g_feat,
+         jnp.zeros((nb, GRAD_COLS - 5 - FEAT_PAD), jnp.float32)],
+        axis=1,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(j != 0)
+    def _():
+        out_ref[:] += contrib
+
+
+def _bwd_call(px, py, sx, sy, op, feats, g8, gT, hw_pad: int, width: int,
+              nb: int, tp: int) -> Array:
+    n_pad = px.shape[0]
+    grid = (n_pad // nb, hw_pad // tp)
+    gblock = lambda i, j: (i, 0)
+
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, width=width, tp=tp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, FEAT_PAD), gblock, memory_space=pltpu.VMEM),
+            pl.BlockSpec((FEAT_PAD, tp), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),                  # g8
+            pl.BlockSpec((tp, FEAT_PAD), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),                  # gT
+        ],
+        out_specs=pl.BlockSpec((nb, GRAD_COLS), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, GRAD_COLS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * hw_pad * (2 * FEAT_PAD + 14),
+            bytes_accessed=4 * (2 * hw_pad * FEAT_PAD
+                                + n_pad * (5 + FEAT_PAD + GRAD_COLS)),
+            transcendentals=n_pad * hw_pad,
+        ),
+        interpret=_interpret(),
+    )(px, py, sx, sy, op, feats, g8, gT)
+
+
+# ------------------------------------------------------------- custom VJP
+
+
+def _pad_rows(a: Array, n_pad: int) -> Array:
+    return jnp.pad(a, ((0, n_pad - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _splat(px, py, sx, sy, op, feats, height, width):
+    """acc (H*W, FEAT_DIM) = sum_i w_i(p) * feats_i  via the Pallas kernel."""
+    return _splat_fwd(px, py, sx, sy, op, feats, height, width)[0]
+
+
+def _splat_fwd(px, py, sx, sy, op, feats, height, width):
+    n = px.shape[0]
+    hw = height * width
+    nb, tp = _tile_sizes(n, hw)
+    n_pad = _round_up(n, nb)
+    hw_pad = _round_up(hw, tp)
+
+    # Padded gaussians: op=0 (w==0); sigma=1 avoids div-by-zero.
+    px_p = _pad_rows(px[:, None], n_pad)
+    py_p = _pad_rows(py[:, None], n_pad)
+    sx_p = jnp.pad(sx[:, None], ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    sy_p = jnp.pad(sy[:, None], ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    op_p = _pad_rows(op[:, None], n_pad)
+    feats_p = jnp.pad(feats, ((0, n_pad - n), (0, FEAT_PAD - FEAT_DIM)))
+
+    acc8 = _fwd_call(px_p, py_p, sx_p, sy_p, op_p, feats_p.T,
+                     hw_pad, width, nb, tp)           # (FEAT_PAD, hw_pad)
+    acc = acc8[:FEAT_DIM, :hw].T                      # (hw, FEAT_DIM)
+    residuals = (px, py, sx, sy, op, feats)
+    return acc, residuals
+
+
+def _splat_bwd(height, width, residuals, g):
+    px, py, sx, sy, op, feats = residuals
+    n = px.shape[0]
+    hw = height * width
+    nb, tp = _tile_sizes(n, hw)
+    n_pad = _round_up(n, nb)
+    hw_pad = _round_up(hw, tp)
+
+    px_p = _pad_rows(px[:, None], n_pad)
+    py_p = _pad_rows(py[:, None], n_pad)
+    sx_p = jnp.pad(sx[:, None], ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    sy_p = jnp.pad(sy[:, None], ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    op_p = _pad_rows(op[:, None], n_pad)
+    feats_p = jnp.pad(feats, ((0, n_pad - n), (0, FEAT_PAD - FEAT_DIM)))
+
+    gT = jnp.pad(g, ((0, hw_pad - hw), (0, FEAT_PAD - FEAT_DIM)))  # (hw_pad, 8)
+    g8 = gT.T                                                       # (8, hw_pad)
+
+    out = _bwd_call(px_p, py_p, sx_p, sy_p, op_p, feats_p, g8, gT,
+                    hw_pad, width, nb, tp)            # (n_pad, GRAD_COLS)
+    out = out[:n]
+    g_px = out[:, 0]
+    g_py = out[:, 1]
+    g_sx = out[:, 2]
+    g_sy = out[:, 3]
+    g_op = out[:, 4]
+    g_feats = out[:, 5 : 5 + FEAT_DIM]
+    # Column 3 of feats is the constant 1 — its cotangent is not used by
+    # callers, but return it faithfully (it is mathematically sum_p g_W).
+    return g_px, g_py, g_sx, g_sy, g_op, g_feats
+
+
+_splat.defvjp(_splat_fwd, _splat_bwd)
+
+
+def splat_accumulate(s: SplatInputs, height: int, width: int) -> Array:
+    """Drop-in Pallas replacement for jnp_renderer.accumulate_jnp."""
+    return _splat(s.px, s.py, s.sigma_x, s.sigma_y, s.op_eff, s.feats,
+                  height, width)
