@@ -37,7 +37,10 @@ def main():
     rc = RenderConfig(width=SIZE, height=SIZE, impl="auto", return_aux=True)
     lc = LossConfig(silhouette_weight=0.0, depth_weight=0.0)
 
-    def fwd_bwd(raw, targets):
+    # NOTE: cameras/targets must be ARGUMENTS, not closure captures — jit
+    # constants baked from device arrays hit a severe slow path on the
+    # axon TPU relay (measured: >100x per-call overhead).
+    def fwd_bwd(raw, cams, targets):
         def f(tr):
             return loss_fn(raw.with_trainable(tr), cams, targets, None, None,
                            rc, lc)
@@ -45,12 +48,12 @@ def main():
         return loss, grads
 
     step = jax.jit(fwd_bwd)
-    loss, grads = step(raw, targets)  # compile + warmup
+    loss, grads = step(raw, cams, targets)  # compile + warmup
     jax.block_until_ready(grads)
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        loss, grads = step(raw, targets)
+        loss, grads = step(raw, cams, targets)
     jax.block_until_ready(grads)
     dt = (time.perf_counter() - t0) / STEPS
 
