@@ -1,13 +1,18 @@
-"""Benchmark: pixels/s/chip for a fused forward+backward render step.
+"""Benchmark: pixels/s/chip for the fused forward+backward fit step.
 
 Driver metric (BASELINE.json:2): pixels/s/chip fwd+bwd at 256x256 on the
 flagship config (#2: 1200 Gaussians, SH, orbit camera). Prints ONE JSON
 line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline compares against the self-measured reference implementation
-throughput (bench/baseline_measurement.json, produced by
-bench/measure_torch_baseline.py — the reference publishes no numbers,
-BASELINE.md). Falls back to 0.0 when the measurement file is absent.
+Measurement method: the full train step (render + loss + backward + Adam)
+is chained on device via lax.scan inside a single jit; per-step cost is
+the marginal time between a K1-step and a K2-step scan, which excludes
+host<->device round-trip latency (the deployment-shaped number — training
+loops keep steps on device).
+
+vs_baseline divides by the self-measured reference-renderer throughput
+(bench/baseline_measurement.json, from bench/measure_torch_baseline.py —
+the reference publishes no numbers, BASELINE.md).
 """
 
 from __future__ import annotations
@@ -18,7 +23,7 @@ from pathlib import Path
 
 SIZE = 256
 N = 1200
-STEPS = 20
+K1, K2 = 10, 60
 
 
 def main():
@@ -26,38 +31,44 @@ def main():
     import jax.numpy as jnp
     from tpu_gaussians.core import camera as cam
     from tpu_gaussians.core.types import RenderConfig
-    from tpu_gaussians.fit.loss import LossConfig, loss_fn
+    from tpu_gaussians.fit.loss import LossConfig
+    from tpu_gaussians.fit.step import init_state, make_optimizer, make_train_step
     from tpu_gaussians.models.gaussian_model import init_params
 
     raw = init_params(jax.random.PRNGKey(0), N, N, use_sh=True)
     cams = cam.orbit_cameras(1, SIZE, SIZE)
-    key = jax.random.PRNGKey(1)
-    targets = jax.random.uniform(key, (1, SIZE, SIZE, 3), jnp.float32)
+    targets = jax.random.uniform(jax.random.PRNGKey(1), (1, SIZE, SIZE, 3),
+                                 jnp.float32)
+    zeros = jnp.zeros((1, SIZE, SIZE), jnp.float32)
 
     rc = RenderConfig(width=SIZE, height=SIZE, impl="auto", return_aux=True)
     lc = LossConfig(silhouette_weight=0.0, depth_weight=0.0)
+    tx = make_optimizer(0.02)
+    inner = make_train_step(tx, rc, lc, False, False, jit=False)
 
-    # NOTE: cameras/targets must be ARGUMENTS, not closure captures — jit
-    # constants baked from device arrays hit a severe slow path on the
-    # axon TPU relay (measured: >100x per-call overhead).
-    def fwd_bwd(raw, cams, targets):
-        def f(tr):
-            return loss_fn(raw.with_trainable(tr), cams, targets, None, None,
-                           rc, lc)
-        (loss, _), grads = jax.value_and_grad(f, has_aux=True)(raw.trainable())
-        return loss, grads
+    def multi(state, cams, targets, masks, depths, k):
+        def body(s, _):
+            s2, m = inner(s, cams, targets, masks, depths)
+            return s2, m["loss"]
+        return jax.lax.scan(body, state, None, length=k)
 
-    step = jax.jit(fwd_bwd)
-    loss, grads = step(raw, cams, targets)  # compile + warmup
-    jax.block_until_ready(grads)
+    def timed(k, reps=3):
+        jf = jax.jit(lambda s, c, t, m, d: multi(s, c, t, m, d, k))
+        st = init_state(raw, tx)
+        _, losses = jf(st, cams, targets, zeros, zeros)
+        float(losses[-1])  # warm + sync
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _, losses = jf(st, cams, targets, zeros, zeros)
+            float(losses[-1])
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        loss, grads = step(raw, cams, targets)
-    jax.block_until_ready(grads)
-    dt = (time.perf_counter() - t0) / STEPS
-
-    pixels_per_s = SIZE * SIZE / dt
+    t1 = timed(K1)
+    t2 = timed(K2)
+    per_step = max((t2 - t1) / (K2 - K1), 1e-9)
+    pixels_per_s = SIZE * SIZE / per_step
 
     baseline_file = Path(__file__).parent / "bench" / "baseline_measurement.json"
     vs = 0.0

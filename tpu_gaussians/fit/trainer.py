@@ -114,27 +114,19 @@ def fit(
     step_fn = make_train_step(tx, render_config, loss_config,
                               has_masks, has_depths)
 
-    metrics_file = None
-    if out_dir is not None and config.metrics_jsonl:
-        out_dir.mkdir(parents=True, exist_ok=True)
-        metrics_file = (out_dir / "metrics.jsonl").open("w")
-
-    loss_log = []
+    # Per-step metrics stay ON DEVICE; host fetches happen only at log
+    # points and at the end. (Each device->host fetch costs a full relay
+    # round trip — fetching the loss every step would dominate wall-clock.)
+    device_metrics = []
     t0 = time.perf_counter()
     for it in range(config.iters):
         state, metrics = step_fn(state, cameras, targets_j, masks_j, depths_j)
+        device_metrics.append(metrics)
 
-        lv = float(metrics["loss"])
-        loss_log.append(lv)
         if it == 0 or (it + 1) % config.log_every == 0:
+            lv = float(metrics["loss"])
             n = int(metrics["n_alive"])
             print(f"iter {it+1:4d}  loss={lv:.6f}  N={n}")
-        if metrics_file is not None:
-            metrics_file.write(json.dumps(
-                {"step": it + 1,
-                 **{k: float(vv) for k, vv in metrics.items()},
-                 "wall_s": time.perf_counter() - t0}
-            ) + "\n")
 
         densify_fires = (it + 1) % config.densify_interval == 0
         prune_fires = (it + 1) % config.prune_interval == 0
@@ -148,9 +140,24 @@ def fit(
             )
             state = init_state(new_raw, tx)  # fresh Adam, :325
 
+    jax.block_until_ready(state.raw.means)
     wall = time.perf_counter() - t0
-    if metrics_file is not None:
-        metrics_file.close()
+
+    # One batched fetch of the whole metrics history.
+    stacked = {
+        k: np.asarray(jnp.stack([m[k] for m in device_metrics]))
+        for k in device_metrics[0]
+    }
+    loss_log = [float(v) for v in stacked["loss"]]
+
+    if out_dir is not None and config.metrics_jsonl:
+        out_dir.mkdir(parents=True, exist_ok=True)
+        with (out_dir / "metrics.jsonl").open("w") as metrics_file:
+            for i in range(config.iters):
+                metrics_file.write(json.dumps(
+                    {"step": i + 1,
+                     **{k: float(stacked[k][i]) for k in stacked}}
+                ) + "\n")
 
     return FitResult(raw=state.raw, loss_log=loss_log, cameras=cameras,
                      wall_time_s=wall)
