@@ -23,7 +23,7 @@ from pathlib import Path
 
 SIZE = 256
 N = 1200
-K1, K2 = 10, 60
+K1, K2 = 8, 40
 
 
 def main():
@@ -52,7 +52,7 @@ def main():
             return s2, m["loss"]
         return jax.lax.scan(body, state, None, length=k)
 
-    def timed(k, reps=3):
+    def timed(k, reps=2):
         jf = jax.jit(lambda s, c, t, m, d: multi(s, c, t, m, d, k))
         st = init_state(raw, tx)
         _, losses = jf(st, cams, targets, zeros, zeros)

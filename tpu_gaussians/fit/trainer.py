@@ -111,6 +111,17 @@ def fit(
 
     tx = make_optimizer(config.lr)
     state = init_state(raw, tx)
+
+    checkpointer = None
+    start_iter = 0
+    if out_dir is not None and (config.checkpoint_every > 0 or config.resume):
+        from tpu_gaussians.io.checkpoint import Checkpointer
+
+        checkpointer = Checkpointer(Path(out_dir) / "checkpoints")
+        if config.resume and checkpointer.latest_step() is not None:
+            start_iter, state, key = checkpointer.restore(state, key)
+            print(f"Resumed from checkpoint at iter {start_iter}")
+
     step_fn = make_train_step(tx, render_config, loss_config,
                               has_masks, has_depths)
 
@@ -119,7 +130,7 @@ def fit(
     # round trip — fetching the loss every step would dominate wall-clock.)
     device_metrics = []
     t0 = time.perf_counter()
-    for it in range(config.iters):
+    for it in range(start_iter, config.iters):
         state, metrics = step_fn(state, cameras, targets_j, masks_j, depths_j)
         device_metrics.append(metrics)
 
@@ -140,22 +151,30 @@ def fit(
             )
             state = init_state(new_raw, tx)  # fresh Adam, :325
 
+        if (checkpointer is not None and config.checkpoint_every > 0
+                and (it + 1) % config.checkpoint_every == 0):
+            checkpointer.save(it + 1, state, key)
+
     jax.block_until_ready(state.raw.means)
     wall = time.perf_counter() - t0
 
     # One batched fetch of the whole metrics history.
-    stacked = {
-        k: np.asarray(jnp.stack([m[k] for m in device_metrics]))
-        for k in device_metrics[0]
-    }
+    if device_metrics:
+        stacked = {
+            k: np.asarray(jnp.stack([m[k] for m in device_metrics]))
+            for k in device_metrics[0]
+        }
+    else:
+        stacked = {"loss": np.zeros((0,), np.float32)}
     loss_log = [float(v) for v in stacked["loss"]]
 
-    if out_dir is not None and config.metrics_jsonl:
+    if out_dir is not None and config.metrics_jsonl and device_metrics:
         out_dir.mkdir(parents=True, exist_ok=True)
-        with (out_dir / "metrics.jsonl").open("w") as metrics_file:
-            for i in range(config.iters):
+        mode = "a" if start_iter > 0 else "w"
+        with (out_dir / "metrics.jsonl").open(mode) as metrics_file:
+            for i in range(len(device_metrics)):
                 metrics_file.write(json.dumps(
-                    {"step": i + 1,
+                    {"step": start_iter + i + 1,
                      **{k: float(stacked[k][i]) for k in stacked}}
                 ) + "\n")
 

@@ -54,6 +54,37 @@ FEAT_PAD = 8    # feats padded to 8 rows/cols: [r, g, b, 1, z, 0, 0, 0]
 GRAD_COLS = 16  # bwd per-gaussian outputs: [g_px, g_py, g_sx, g_sy, g_op,
                 #  g_feat[0:8], pad] -> 13 used, padded to 16
 
+# Conservative cull threshold: a gaussian is skipped for a pixel tile only
+# when its weight there is below W_CULL everywhere. At 1e-14 the total
+# dropped mass per pixel is < N*1e-14 — below f32 resolution of the
+# accumulators, so culling preserves allclose parity with the dense oracle.
+W_CULL = 1e-14
+
+
+def _band_block_mask(py, sigma_y, op_eff, n_bands: int, tp: int,
+                     nb: int, width: int) -> Array:
+    """(n_bands, n_blocks) int32 activity mask.
+
+    Inputs are the PADDED, py-SORTED per-gaussian arrays (shape (n_pad,)).
+    A block is active in a band iff any of its gaussians' conservative
+    y-extent [py - r*sy, py + r*sy] (r from W_CULL) overlaps the band's
+    pixel rows. The py-sort makes blocks y-coherent, so the mask is sparse.
+    """
+    n_pad = py.shape[0]
+    n_blocks = n_pad // nb
+    r = jnp.sqrt(2.0 * jnp.log(jnp.maximum(op_eff, W_CULL) / W_CULL))
+    dead = op_eff <= W_CULL
+    lo = jnp.where(dead, jnp.inf, py - r * sigma_y).reshape(n_blocks, nb)
+    hi = jnp.where(dead, -jnp.inf, py + r * sigma_y).reshape(n_blocks, nb)
+    blo = jnp.min(lo, axis=1)   # (n_blocks,)
+    bhi = jnp.max(hi, axis=1)
+
+    band = jnp.arange(n_bands, dtype=jnp.float32)
+    band_ylo = jnp.floor(band * tp / width) - 1.0
+    band_yhi = jnp.ceil((band + 1.0) * tp / width) + 1.0
+    active = (blo[None, :] <= band_yhi[:, None]) & (bhi[None, :] >= band_ylo[:, None])
+    return active.astype(jnp.int32)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -73,37 +104,39 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------- forward
 
 
-def _fwd_kernel(px_ref, py_ref, sx_ref, sy_ref, op_ref, featsT_ref,
+def _fwd_kernel(mask_ref, px_ref, py_ref, sx_ref, sy_ref, op_ref, featsT_ref,
                 acc_ref, *, width: int, tp: int):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    i = pl.program_id(0)
-    base = i * tp
-    idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tp), dimension=1)
-    gx = (idx % width).astype(jnp.float32) + 0.5   # (1, TP)
-    gy = (idx // width).astype(jnp.float32) + 0.5
+    @pl.when(mask_ref[i, j] != 0)
+    def _():
+        base = i * tp
+        idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tp), dimension=1)
+        gx = (idx % width).astype(jnp.float32) + 0.5   # (1, TP)
+        gy = (idx // width).astype(jnp.float32) + 0.5
 
-    px = px_ref[:]          # (NB, 1)
-    py = py_ref[:]
-    inv_sx2 = 1.0 / (sx_ref[:] * sx_ref[:])
-    inv_sy2 = 1.0 / (sy_ref[:] * sy_ref[:])
+        px = px_ref[:]          # (NB, 1)
+        py = py_ref[:]
+        inv_sx2 = 1.0 / (sx_ref[:] * sx_ref[:])
+        inv_sy2 = 1.0 / (sy_ref[:] * sy_ref[:])
 
-    dx = gx - px            # (NB, TP)
-    dy = gy - py
-    e = -0.5 * (dx * dx * inv_sx2 + dy * dy * inv_sy2)
-    w = op_ref[:] * jnp.exp(e)
+        dx = gx - px            # (NB, TP)
+        dy = gy - py
+        e = -0.5 * (dx * dx * inv_sx2 + dy * dy * inv_sy2)
+        w = op_ref[:] * jnp.exp(e)
 
-    acc_ref[:] += jnp.dot(
-        featsT_ref[:], w,
-        preferred_element_type=jnp.float32, precision="highest",
-    )
+        acc_ref[:] += jnp.dot(
+            featsT_ref[:], w,
+            preferred_element_type=jnp.float32, precision="highest",
+        )
 
 
-def _fwd_call(px, py, sx, sy, op, featsT, hw_pad: int, width: int,
+def _fwd_call(mask, px, py, sx, sy, op, featsT, hw_pad: int, width: int,
               nb: int, tp: int) -> Array:
     n_pad = px.shape[0]
     grid = (hw_pad // tp, n_pad // nb)
@@ -113,6 +146,7 @@ def _fwd_call(px, py, sx, sy, op, featsT, hw_pad: int, width: int,
         functools.partial(_fwd_kernel, width=width, tp=tp),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # mask
             pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # px
             pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # py
             pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # sx
@@ -133,65 +167,65 @@ def _fwd_call(px, py, sx, sy, op, featsT, hw_pad: int, width: int,
             transcendentals=n_pad * hw_pad,
         ),
         interpret=_interpret(),
-    )(px, py, sx, sy, op, featsT)
+    )(mask, px, py, sx, sy, op, featsT)
 
 
 # ---------------------------------------------------------------- backward
 
 
-def _bwd_kernel(px_ref, py_ref, sx_ref, sy_ref, op_ref, feats_ref,
+def _bwd_kernel(mask_ref, px_ref, py_ref, sx_ref, sy_ref, op_ref, feats_ref,
                 g8_ref, gT_ref, out_ref, *, width: int, tp: int):
+    i = pl.program_id(0)  # gaussian block
     j = pl.program_id(1)  # pixel tile index (inner loop)
-
-    base = j * tp
-    idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tp), dimension=1)
-    gx = (idx % width).astype(jnp.float32) + 0.5
-    gy = (idx // width).astype(jnp.float32) + 0.5
-
-    px = px_ref[:]                  # (NB, 1)
-    py = py_ref[:]
-    sx = sx_ref[:]
-    sy = sy_ref[:]
-    inv_sx2 = 1.0 / (sx * sx)
-    inv_sy2 = 1.0 / (sy * sy)
-
-    dx = gx - px                    # (NB, TP)
-    dy = gy - py
-    e = -0.5 * (dx * dx * inv_sx2 + dy * dy * inv_sy2)
-    exp_e = jnp.exp(e)
-    w = op_ref[:] * exp_e
-
-    # g_w[i,p] = sum_f feats[i,f] * g_acc[f,p]
-    g_w = jnp.dot(feats_ref[:], g8_ref[:],
-                  preferred_element_type=jnp.float32, precision="highest")
-    # g_feat[i,f] = sum_p w[i,p] * g_acc[f,p]
-    g_feat = jnp.dot(w, gT_ref[:],
-                     preferred_element_type=jnp.float32, precision="highest")
-
-    g_e = w * g_w
-    g_op = jnp.sum(exp_e * g_w, axis=1, keepdims=True)        # (NB, 1)
-    g_px = jnp.sum(g_e * dx * inv_sx2, axis=1, keepdims=True)
-    g_py = jnp.sum(g_e * dy * inv_sy2, axis=1, keepdims=True)
-    g_sx = jnp.sum(g_e * dx * dx * inv_sx2, axis=1, keepdims=True) / sx
-    g_sy = jnp.sum(g_e * dy * dy * inv_sy2, axis=1, keepdims=True) / sy
-
-    nb = g_feat.shape[0]
-    contrib = jnp.concatenate(
-        [g_px, g_py, g_sx, g_sy, g_op, g_feat,
-         jnp.zeros((nb, GRAD_COLS - 5 - FEAT_PAD), jnp.float32)],
-        axis=1,
-    )
 
     @pl.when(j == 0)
     def _():
-        out_ref[:] = contrib
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(j != 0)
+    @pl.when(mask_ref[j, i] != 0)
     def _():
+        base = j * tp
+        idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tp), dimension=1)
+        gx = (idx % width).astype(jnp.float32) + 0.5
+        gy = (idx // width).astype(jnp.float32) + 0.5
+
+        px = px_ref[:]                  # (NB, 1)
+        py = py_ref[:]
+        sx = sx_ref[:]
+        sy = sy_ref[:]
+        inv_sx2 = 1.0 / (sx * sx)
+        inv_sy2 = 1.0 / (sy * sy)
+
+        dx = gx - px                    # (NB, TP)
+        dy = gy - py
+        e = -0.5 * (dx * dx * inv_sx2 + dy * dy * inv_sy2)
+        exp_e = jnp.exp(e)
+        w = op_ref[:] * exp_e
+
+        # g_w[i,p] = sum_f feats[i,f] * g_acc[f,p]
+        g_w = jnp.dot(feats_ref[:], g8_ref[:],
+                      preferred_element_type=jnp.float32, precision="highest")
+        # g_feat[i,f] = sum_p w[i,p] * g_acc[f,p]
+        g_feat = jnp.dot(w, gT_ref[:],
+                         preferred_element_type=jnp.float32, precision="highest")
+
+        g_e = w * g_w
+        g_op = jnp.sum(exp_e * g_w, axis=1, keepdims=True)        # (NB, 1)
+        g_px = jnp.sum(g_e * dx * inv_sx2, axis=1, keepdims=True)
+        g_py = jnp.sum(g_e * dy * inv_sy2, axis=1, keepdims=True)
+        g_sx = jnp.sum(g_e * dx * dx * inv_sx2, axis=1, keepdims=True) / sx
+        g_sy = jnp.sum(g_e * dy * dy * inv_sy2, axis=1, keepdims=True) / sy
+
+        nb = g_feat.shape[0]
+        contrib = jnp.concatenate(
+            [g_px, g_py, g_sx, g_sy, g_op, g_feat,
+             jnp.zeros((nb, GRAD_COLS - 5 - FEAT_PAD), jnp.float32)],
+            axis=1,
+        )
         out_ref[:] += contrib
 
 
-def _bwd_call(px, py, sx, sy, op, feats, g8, gT, hw_pad: int, width: int,
+def _bwd_call(mask, px, py, sx, sy, op, feats, g8, gT, hw_pad: int, width: int,
               nb: int, tp: int) -> Array:
     n_pad = px.shape[0]
     grid = (n_pad // nb, hw_pad // tp)
@@ -201,6 +235,7 @@ def _bwd_call(px, py, sx, sy, op, feats, g8, gT, hw_pad: int, width: int,
         functools.partial(_bwd_kernel, width=width, tp=tp),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # mask
             pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),
@@ -225,7 +260,7 @@ def _bwd_call(px, py, sx, sy, op, feats, g8, gT, hw_pad: int, width: int,
             transcendentals=n_pad * hw_pad,
         ),
         interpret=_interpret(),
-    )(px, py, sx, sy, op, feats, g8, gT)
+    )(mask, px, py, sx, sy, op, feats, g8, gT)
 
 
 # ------------------------------------------------------------- custom VJP
@@ -241,6 +276,18 @@ def _splat(px, py, sx, sy, op, feats, height, width):
     return _splat_fwd(px, py, sx, sy, op, feats, height, width)[0]
 
 
+def _pad_inputs(px, py, sx, sy, op, feats, n_pad):
+    """Pad to the gaussian-block multiple: op=0 (w==0), sigma=1 (no div0)."""
+    n = px.shape[0]
+    px_p = _pad_rows(px[:, None], n_pad)
+    py_p = _pad_rows(py[:, None], n_pad)
+    sx_p = jnp.pad(sx[:, None], ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    sy_p = jnp.pad(sy[:, None], ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    op_p = _pad_rows(op[:, None], n_pad)
+    feats_p = jnp.pad(feats, ((0, n_pad - n), (0, FEAT_PAD - FEAT_DIM)))
+    return px_p, py_p, sx_p, sy_p, op_p, feats_p
+
+
 def _splat_fwd(px, py, sx, sy, op, feats, height, width):
     n = px.shape[0]
     hw = height * width
@@ -248,15 +295,12 @@ def _splat_fwd(px, py, sx, sy, op, feats, height, width):
     n_pad = _round_up(n, nb)
     hw_pad = _round_up(hw, tp)
 
-    # Padded gaussians: op=0 (w==0); sigma=1 avoids div-by-zero.
-    px_p = _pad_rows(px[:, None], n_pad)
-    py_p = _pad_rows(py[:, None], n_pad)
-    sx_p = jnp.pad(sx[:, None], ((0, n_pad - n), (0, 0)), constant_values=1.0)
-    sy_p = jnp.pad(sy[:, None], ((0, n_pad - n), (0, 0)), constant_values=1.0)
-    op_p = _pad_rows(op[:, None], n_pad)
-    feats_p = jnp.pad(feats, ((0, n_pad - n), (0, FEAT_PAD - FEAT_DIM)))
+    px_p, py_p, sx_p, sy_p, op_p, feats_p = _pad_inputs(
+        px, py, sx, sy, op, feats, n_pad)
+    mask = _band_block_mask(py_p[:, 0], sy_p[:, 0], op_p[:, 0],
+                            hw_pad // tp, tp, nb, width)
 
-    acc8 = _fwd_call(px_p, py_p, sx_p, sy_p, op_p, feats_p.T,
+    acc8 = _fwd_call(mask, px_p, py_p, sx_p, sy_p, op_p, feats_p.T,
                      hw_pad, width, nb, tp)           # (FEAT_PAD, hw_pad)
     acc = acc8[:FEAT_DIM, :hw].T                      # (hw, FEAT_DIM)
     residuals = (px, py, sx, sy, op, feats)
@@ -271,17 +315,15 @@ def _splat_bwd(height, width, residuals, g):
     n_pad = _round_up(n, nb)
     hw_pad = _round_up(hw, tp)
 
-    px_p = _pad_rows(px[:, None], n_pad)
-    py_p = _pad_rows(py[:, None], n_pad)
-    sx_p = jnp.pad(sx[:, None], ((0, n_pad - n), (0, 0)), constant_values=1.0)
-    sy_p = jnp.pad(sy[:, None], ((0, n_pad - n), (0, 0)), constant_values=1.0)
-    op_p = _pad_rows(op[:, None], n_pad)
-    feats_p = jnp.pad(feats, ((0, n_pad - n), (0, FEAT_PAD - FEAT_DIM)))
+    px_p, py_p, sx_p, sy_p, op_p, feats_p = _pad_inputs(
+        px, py, sx, sy, op, feats, n_pad)
+    mask = _band_block_mask(py_p[:, 0], sy_p[:, 0], op_p[:, 0],
+                            hw_pad // tp, tp, nb, width)
 
     gT = jnp.pad(g, ((0, hw_pad - hw), (0, FEAT_PAD - FEAT_DIM)))  # (hw_pad, 8)
     g8 = gT.T                                                       # (8, hw_pad)
 
-    out = _bwd_call(px_p, py_p, sx_p, sy_p, op_p, feats_p, g8, gT,
+    out = _bwd_call(mask, px_p, py_p, sx_p, sy_p, op_p, feats_p, g8, gT,
                     hw_pad, width, nb, tp)            # (n_pad, GRAD_COLS)
     out = out[:n]
     g_px = out[:, 0]
@@ -298,7 +340,18 @@ def _splat_bwd(height, width, residuals, g):
 _splat.defvjp(_splat_fwd, _splat_bwd)
 
 
-def splat_accumulate(s: SplatInputs, height: int, width: int) -> Array:
-    """Drop-in Pallas replacement for jnp_renderer.accumulate_jnp."""
+def splat_accumulate(s: SplatInputs, height: int, width: int,
+                     sort: bool = True) -> Array:
+    """Drop-in Pallas replacement for jnp_renderer.accumulate_jnp.
+
+    `sort=True` pre-sorts gaussians by screen-y so blocks are y-coherent
+    and the band/block cull mask is sparse (the TPU answer to CUDA tile
+    binning, SURVEY.md §7 hard part #2). The accumulation is
+    order-independent, so sorting does not change the result; gradients
+    flow back through the gather automatically.
+    """
+    if sort and s.px.shape[0] > 512:
+        order = jnp.argsort(s.py)
+        s = jax.tree.map(lambda a: a[order], s)
     return _splat(s.px, s.py, s.sigma_x, s.sigma_y, s.op_eff, s.feats,
                   height, width)
