@@ -29,6 +29,10 @@ K1, K2 = 8, 40
 def main():
     import jax
     import jax.numpy as jnp
+
+    from tpu_gaussians.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from tpu_gaussians.core import camera as cam
     from tpu_gaussians.core.types import RenderConfig
     from tpu_gaussians.fit.loss import LossConfig

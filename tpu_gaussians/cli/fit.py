@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     import jax
 
+    from tpu_gaussians.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     config = FitConfig(**vars(args))
 

@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
+    from tpu_gaussians.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from tpu_gaussians.core import camera as cam
     from tpu_gaussians.core.types import RenderConfig
     from tpu_gaussians.io.image import save_image_png
