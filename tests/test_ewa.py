@@ -1,0 +1,185 @@
+"""EWA footprint (quaternion + full covariance -> 2D conic): math checks
+against closed forms, anisotropy behavior, pallas/jnp parity, gradient
+flow to quaternions, and a short EWA fit."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_gaussians.core import camera as cam
+from tpu_gaussians.core.types import RenderConfig, make_gaussians
+from tpu_gaussians.ops.dispatch import render
+from tpu_gaussians.ops.ewa import ewa_conic, quat_to_rot
+
+W = H = 48
+
+
+def _quat_z(theta):
+    """Rotation by theta around the z (optical-ish) axis, wxyz."""
+    return np.array([math.cos(theta / 2), 0.0, 0.0, math.sin(theta / 2)],
+                    np.float32)
+
+
+def test_quat_to_rot_identity_and_z90():
+    r = np.asarray(quat_to_rot(jnp.asarray([[1.0, 0, 0, 0]])))[0]
+    np.testing.assert_allclose(r, np.eye(3), atol=1e-6)
+
+    r = np.asarray(quat_to_rot(jnp.asarray(_quat_z(math.pi / 2)[None])))[0]
+    # z-rotation by 90deg: x -> y
+    np.testing.assert_allclose(r @ np.array([1.0, 0, 0]), [0, 1, 0], atol=1e-6)
+
+
+def test_quat_normalization():
+    q = jnp.asarray([[2.0, 0, 0, 0]])
+    r = np.asarray(quat_to_rot(q))[0]
+    np.testing.assert_allclose(r, np.eye(3), atol=1e-6)
+
+
+def _front_camera():
+    """Camera at +z looking at origin: view rotation ~ diag(1,1,-1)-ish."""
+    return cam.look_at(jnp.asarray([0.0, 0.0, 2.5]), jnp.zeros(3),
+                       jnp.asarray([0.0, 1.0, 0.0]))
+
+
+def test_ewa_conic_front_view_axis_lengths():
+    """Head-on view, elongated-x gaussian: sigma_x > sigma_y in pixels, and
+    the conic matches the analytic projection fx*s/|z|."""
+    view = _front_camera()
+    proj = cam.perspective(60.0, 1.0, 0.01, 100.0)
+    means = jnp.zeros((1, 3))
+    scales = jnp.asarray([[0.4, 0.1, 0.05]])
+    quats = jnp.asarray([[1.0, 0, 0, 0]])
+
+    c = ewa_conic(means, scales, quats, view, proj, W, H, blur=0.0)
+    fx = abs(float(proj[0, 0])) * 0.5 * (W - 1)
+    fy = abs(float(proj[1, 1])) * 0.5 * (H - 1)
+    np.testing.assert_allclose(float(c.sigma_x[0]), 0.4 * fx / 2.5, rtol=1e-3)
+    np.testing.assert_allclose(float(c.sigma_y[0]), 0.1 * fy / 2.5, rtol=1e-3)
+    assert abs(float(c.b[0])) < 1e-6  # no rotation -> no cross term
+
+
+def test_ewa_conic_rotation_introduces_cross_term():
+    view = _front_camera()
+    proj = cam.perspective(60.0, 1.0, 0.01, 100.0)
+    means = jnp.zeros((1, 3))
+    scales = jnp.asarray([[0.4, 0.1, 0.05]])
+    quats = jnp.asarray(_quat_z(math.pi / 4)[None])  # 45 deg in-plane
+
+    c = ewa_conic(means, scales, quats, view, proj, W, H, blur=0.0)
+    assert abs(float(c.b[0])) > 1e-4  # anisotropic cross term present
+
+
+def _ewa_scene(quats, n=1):
+    return make_gaussians(
+        np.zeros((n, 3), np.float32),
+        np.tile(np.array([[0.3, 0.05, 0.05]], np.float32), (n, 1)),
+        np.full((n,), 0.9, np.float32),
+        colors=np.ones((n, 3), np.float32),
+        quats=quats,
+    )
+
+
+def test_rendered_orientation_follows_quaternion():
+    """An elongated gaussian rotated 90 deg in-plane swaps its image axes."""
+    camera = cam.Camera(view=_front_camera(),
+                        proj=cam.perspective(60.0, 1.0, 0.01, 100.0))
+    cfg = RenderConfig(width=W, height=H, impl="jnp", footprint="ewa",
+                       chunk_size=8)
+    img_h = np.asarray(render(_ewa_scene(np.array([[1, 0, 0, 0]], np.float32)),
+                              camera, cfg))
+    img_v = np.asarray(render(_ewa_scene(_quat_z(math.pi / 2)[None]),
+                              camera, cfg))
+    lum_h = img_h.mean(axis=2)
+    lum_v = img_v.mean(axis=2)
+    # Horizontal splat: middle row brighter than middle column; rotated:
+    # reversed.
+    row = lum_h[H // 2, :].sum()
+    col = lum_h[:, W // 2].sum()
+    assert row > col * 1.3
+    row_v = lum_v[H // 2, :].sum()
+    col_v = lum_v[:, W // 2].sum()
+    assert col_v > row_v * 1.3
+
+
+def test_ewa_pallas_matches_jnp():
+    rng = np.random.default_rng(0)
+    n = 25
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    g = make_gaussians(
+        rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32),
+        rng.uniform(0.02, 0.3, (n, 3)).astype(np.float32),
+        rng.uniform(0.1, 0.9, (n,)).astype(np.float32),
+        colors=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        quats=quats,
+    )
+    camera = cam.orbit_cameras(3, W, H)[1]
+    cfg_j = RenderConfig(width=W, height=H, impl="jnp", footprint="ewa",
+                         return_aux=True, chunk_size=8)
+    cfg_p = cfg_j.replace(impl="pallas")
+    out_j = render(g, camera, cfg_j)
+    out_p = render(g, camera, cfg_p)
+    for a, b in zip(out_p, out_j):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_gradients_flow_to_quaternions():
+    rng = np.random.default_rng(1)
+    n = 8
+    g = make_gaussians(
+        rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32),
+        rng.uniform(0.05, 0.3, (n, 3)).astype(np.float32),
+        rng.uniform(0.3, 0.9, (n,)).astype(np.float32),
+        colors=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        quats=np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1)),
+    )
+    camera = cam.orbit_cameras(1, W, H)[0]
+    target = jnp.zeros((H, W, 3))
+
+    def loss(quats, impl):
+        cfg = RenderConfig(width=W, height=H, impl=impl, footprint="ewa",
+                           chunk_size=8)
+        img = render(g.replace(quats=quats), camera, cfg)
+        return jnp.mean(jnp.abs(img - target))
+
+    gq_j = jax.grad(lambda q: loss(q, "jnp"))(g.quats)
+    gq_p = jax.grad(lambda q: loss(q, "pallas"))(g.quats)
+    assert float(jnp.abs(gq_j).max()) > 0.0
+    assert bool(jnp.all(jnp.isfinite(gq_j)))
+    np.testing.assert_allclose(np.asarray(gq_p), np.asarray(gq_j),
+                               rtol=5e-4, atol=1e-6)
+
+
+def test_ewa_fit_improves():
+    """Short fit with trainable quaternions recovers a rotated scene
+    better than iteration 0."""
+    from tpu_gaussians.fit.trainer import fit
+    from tpu_gaussians.utils.config import FitConfig
+
+    rng = np.random.default_rng(2)
+    n = 12
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    g_true = make_gaussians(
+        rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32),
+        rng.uniform(0.05, 0.25, (n, 3)).astype(np.float32),
+        rng.uniform(0.4, 0.9, (n,)).astype(np.float32),
+        colors=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        quats=quats,
+    )
+    cams = cam.orbit_cameras(2, W, H)
+    cfg = RenderConfig(width=W, height=H, impl="jnp", footprint="ewa",
+                       chunk_size=16)
+    targets = np.asarray(render(g_true, cams, cfg))
+
+    config = FitConfig(iters=40, width=W, height=H, num_gaussians=16,
+                       max_gaussians=24, densify_interval=1000,
+                       prune_interval=1000, impl="jnp", footprint="ewa",
+                       silhouette_weight=0.0, log_every=1000, seed=5)
+    result = fit(config, targets, cams)
+    assert np.mean(result.loss_log[-5:]) < np.mean(result.loss_log[:5]) * 0.75
+    # Quats actually moved away from identity.
+    q = np.asarray(result.raw.quats_raw[:16])
+    assert np.abs(q - np.array([1, 0, 0, 0])).max() > 1e-3

@@ -38,23 +38,24 @@ def test_vjp_matches_autodiff():
     rng = np.random.default_rng(0)
     g_out = jnp.asarray(rng.normal(size=(hw, 5)).astype(np.float32))
 
-    def f_jnp(px, py, sx, sy, op, feats):
-        from tpu_gaussians.ops.common import SplatInputs
+    def f_jnp(px, py, ca, cb, cc, op, feats):
         acc = accumulate_jnp(
-            SplatInputs(px, py, sx, sy, op, feats), H, W, chunk=16
+            s._replace(px=px, py=py, conic_a=ca, conic_b=cb, conic_c=cc,
+                       op_eff=op, feats=feats), H, W, chunk=16
         )
         return jnp.sum(acc * g_out)
 
-    def f_pal(px, py, sx, sy, op, feats):
+    def f_pal(px, py, ca, cb, cc, op, feats):
         acc = splat_accumulate(
-            type(s)(px, py, sx, sy, op, feats), H, W
+            s._replace(px=px, py=py, conic_a=ca, conic_b=cb, conic_c=cc,
+                       op_eff=op, feats=feats), H, W
         )
         return jnp.sum(acc * g_out)
 
-    args = (s.px, s.py, s.sigma_x, s.sigma_y, s.op_eff, s.feats)
-    grads_ref = jax.grad(f_jnp, argnums=tuple(range(6)))(*args)
-    grads_pal = jax.grad(f_pal, argnums=tuple(range(6)))(*args)
-    names = ["px", "py", "sx", "sy", "op", "feats"]
+    args = (s.px, s.py, s.conic_a, s.conic_b, s.conic_c, s.op_eff, s.feats)
+    grads_ref = jax.grad(f_jnp, argnums=tuple(range(7)))(*args)
+    grads_pal = jax.grad(f_pal, argnums=tuple(range(7)))(*args)
+    names = ["px", "py", "ca", "cb", "cc", "op", "feats"]
     for name, a, b in zip(names, grads_pal, grads_ref):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,

@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     ap.add_argument("--seed", type=int, default=d.seed)
     ap.add_argument("--impl", choices=["auto", "jnp", "pallas"], default=d.impl)
+    ap.add_argument("--footprint", choices=["axis", "ewa"], default=d.footprint,
+                    help="axis = reference-parity isotropic footprint; "
+                         "ewa = trainable quaternion + full covariance")
     ap.add_argument("--clone_metric", choices=["opacity", "grad"],
                     default=d.clone_metric)
     ap.add_argument("--log_every", type=int, default=d.log_every)

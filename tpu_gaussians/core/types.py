@@ -75,6 +75,9 @@ class Gaussians:
       colors:    (C, 3) RGB in [0, 1], or None when `sh` is set
       sh:        (C, 4, 3) SH degree-1 coefficients [dc, c1x, c1y, c1z], or None
       alive:     (C,) float32 {0,1} mask; None means all alive
+      quats:     (C, 4) wxyz unit quaternions for the EWA footprint, or None
+                 (axis-aligned footprint; the reference has no rotation —
+                 scales[:,2] unused, renderer.cu:47)
 
     Exactly one of `colors` / `sh` is non-None (torch_renderer.py:86-106
     contract).
@@ -86,6 +89,7 @@ class Gaussians:
     colors: Optional[Array] = None
     sh: Optional[Array] = None
     alive: Optional[Array] = None
+    quats: Optional[Array] = None
 
     @property
     def capacity(self) -> int:
@@ -107,7 +111,8 @@ class Gaussians:
         return dataclasses.replace(self, **kw)
 
 
-_register(Gaussians, ["means", "scales", "opacities", "colors", "sh", "alive"])
+_register(Gaussians,
+          ["means", "scales", "opacities", "colors", "sh", "alive", "quats"])
 
 
 @dataclass(frozen=True)
@@ -134,6 +139,7 @@ class RenderConfig:
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     mode: str = "accum"
     impl: str = "auto"
+    footprint: str = "axis"   # "axis" (reference parity) | "ewa" (quat+cov)
     chunk_size: int = 256  # Gaussian block size for the jnp/scan path
     return_aux: bool = False  # also return (alpha, depth)
 
@@ -142,6 +148,8 @@ class RenderConfig:
             raise ValueError(f"mode must be 'accum' or 'sorted', got {self.mode!r}")
         if self.impl not in ("auto", "jnp", "pallas"):
             raise ValueError(f"impl must be auto/jnp/pallas, got {self.impl!r}")
+        if self.footprint not in ("axis", "ewa"):
+            raise ValueError(f"footprint must be axis/ewa, got {self.footprint!r}")
         if self.width <= 0 or self.height <= 0:
             raise ValueError("width/height must be positive")
 
@@ -175,6 +183,8 @@ def validate_gaussians(g: Gaussians) -> None:
         raise ValueError(f"sh must be ({n},4,3), got {g.sh.shape}")
     if g.alive is not None and g.alive.shape != (n,):
         raise ValueError(f"alive must be ({n},), got {g.alive.shape}")
+    if g.quats is not None and g.quats.shape != (n, 4):
+        raise ValueError(f"quats must be ({n},4), got {g.quats.shape}")
     for name in ("means", "scales", "opacities"):
         _check_f32(name, getattr(g, name), "")
 
@@ -195,6 +205,7 @@ def make_gaussians(
     colors=None,
     sh=None,
     alive=None,
+    quats=None,
     validate: bool = True,
 ) -> Gaussians:
     """Construct a Gaussians pytree from array-likes, coercing to float32."""
@@ -206,6 +217,7 @@ def make_gaussians(
         colors=None if colors is None else f32(colors),
         sh=None if sh is None else f32(sh),
         alive=None if alive is None else f32(alive),
+        quats=None if quats is None else f32(quats),
     )
     if validate:
         validate_gaussians(g)

@@ -91,6 +91,7 @@ def _densify_and_prune_impl(
     op_raw = gather(raw.opacities_raw)
     colors_raw = gather(raw.colors_raw)
     sh_raw = gather(raw.sh_raw)
+    quats_raw = gather(raw.quats_raw)
     grad_acc = grad_norm_accum[order]
     alive_new = jnp.arange(c) < n
 
@@ -130,6 +131,8 @@ def _densify_and_prune_impl(
                            None if colors_raw is None else colors_raw[src]),
         sh_raw=scatter(sh_raw, None if sh_raw is None else sh_raw[src]),
         alive=(j < n + add_n).astype(jnp.float32),
+        quats_raw=scatter(quats_raw,
+                          None if quats_raw is None else quats_raw[src]),
     )
 
     stats = {

@@ -88,6 +88,7 @@ def fit(
 
     render_config = RenderConfig(
         width=config.width, height=config.height, impl=config.impl,
+        footprint=getattr(config, "footprint", "axis"),
         return_aux=True,
     )
     loss_config = LossConfig(
@@ -107,7 +108,8 @@ def fit(
     key = jax.random.PRNGKey(config.seed)
     key, k_init = jax.random.split(key)
     capacity = max(config.max_gaussians, config.num_gaussians)
-    raw = init_params(k_init, config.num_gaussians, capacity, config.use_sh)
+    raw = init_params(k_init, config.num_gaussians, capacity, config.use_sh,
+                      use_quats=(getattr(config, "footprint", "axis") == "ewa"))
 
     tx = make_optimizer(config.lr)
     state = init_state(raw, tx)
@@ -196,6 +198,7 @@ def write_artifacts(
     cam0 = result.cameras[0] if result.cameras.batched else result.cameras
     render_config = RenderConfig(
         width=config.width, height=config.height, impl=config.impl,
+        footprint=getattr(config, "footprint", "axis"),
     )
     from tpu_gaussians.ops.dispatch import render
 

@@ -33,6 +33,11 @@ def save_gaussians_npz(path: Union[str, Path], g: Gaussians) -> None:
         arrays["sh_coeffs"] = sh
     else:
         arrays["colors"] = np.asarray(g.colors, dtype=np.float32)[alive]
+    if g.quats is not None:
+        # Extension key; reference viewers ignore unknown arrays.
+        q = np.asarray(g.quats, dtype=np.float32)[alive]
+        q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        arrays["quaternions"] = q
     np.savez(Path(path), **arrays)
 
 
@@ -55,6 +60,10 @@ def load_gaussians_npz(path: Union[str, Path]) -> Gaussians:
     sh = None
     if "sh_coeffs" in data:
         sh = np.asarray(data["sh_coeffs"], dtype=np.float32)
+    quats = None
+    if "quaternions" in data:
+        quats = np.asarray(data["quaternions"], dtype=np.float32)
     if sh is not None:
-        return make_gaussians(means, scales, opacities, sh=sh)
-    return make_gaussians(means, scales, opacities, colors=colors)
+        return make_gaussians(means, scales, opacities, sh=sh, quats=quats)
+    return make_gaussians(means, scales, opacities, colors=colors,
+                          quats=quats)

@@ -40,6 +40,7 @@ class RawParams:
     colors_raw: Optional[Array] = None  # (C, 3) xor sh_raw
     sh_raw: Optional[Array] = None      # (C, 4, 3)
     alive: Optional[Array] = None       # (C,) float32 {0,1}; non-trainable
+    quats_raw: Optional[Array] = None   # (C, 4) wxyz; EWA footprint only
 
     @property
     def capacity(self) -> int:
@@ -72,6 +73,8 @@ class RawParams:
             out["sh_raw"] = self.sh_raw
         else:
             out["colors_raw"] = self.colors_raw
+        if self.quats_raw is not None:
+            out["quats_raw"] = self.quats_raw
         return out
 
     def with_trainable(self, leaves: dict) -> "RawParams":
@@ -81,13 +84,14 @@ class RawParams:
 jax.tree_util.register_dataclass(
     RawParams,
     data_fields=["means", "scales_raw", "opacities_raw", "colors_raw",
-                 "sh_raw", "alive"],
+                 "sh_raw", "alive", "quats_raw"],
     meta_fields=[],
 )
 
 
 def init_params(
-    key: Array, num_gaussians: int, capacity: int, use_sh: bool = False
+    key: Array, num_gaussians: int, capacity: int, use_sh: bool = False,
+    use_quats: bool = False,
 ) -> RawParams:
     """Random init matching the reference distributions, padded to capacity.
 
@@ -107,6 +111,11 @@ def init_params(
     opacities_raw = jnp.full((c,), -2.2, jnp.float32)
     alive = (jnp.arange(c) < num_gaussians).astype(jnp.float32)
 
+    # Identity rotation init for the EWA footprint (wxyz = [1,0,0,0]).
+    quats_raw = None
+    if use_quats:
+        quats_raw = jnp.zeros((c, 4), jnp.float32).at[:, 0].set(1.0)
+
     if use_sh:
         sh_raw = jnp.zeros((c, 4, 3), jnp.float32)
         sh_raw = sh_raw.at[:num_gaussians, 0, :].set(
@@ -114,7 +123,7 @@ def init_params(
         )
         return RawParams(means=means, scales_raw=scales_raw,
                          opacities_raw=opacities_raw, sh_raw=sh_raw,
-                         alive=alive)
+                         alive=alive, quats_raw=quats_raw)
 
     colors_raw = jnp.zeros((c, 3), jnp.float32)
     colors_raw = colors_raw.at[:num_gaussians].set(
@@ -122,11 +131,14 @@ def init_params(
     )
     return RawParams(means=means, scales_raw=scales_raw,
                      opacities_raw=opacities_raw, colors_raw=colors_raw,
-                     alive=alive)
+                     alive=alive, quats_raw=quats_raw)
 
 
 def activate(raw: RawParams) -> Gaussians:
-    """Raw -> render-ready activated Gaussians (reference activations)."""
+    """Raw -> render-ready activated Gaussians (reference activations).
+
+    Quaternions pass through raw (normalized inside the EWA conic math,
+    ops/ewa.py quat_to_rot)."""
     return Gaussians(
         means=raw.means,
         scales=jax.nn.softplus(raw.scales_raw) + 1e-3,
@@ -134,4 +146,5 @@ def activate(raw: RawParams) -> Gaussians:
         colors=None if raw.use_sh else jax.nn.sigmoid(raw.colors_raw),
         sh=raw.sh_raw if raw.use_sh else None,
         alive=raw.alive_mask(),
+        quats=raw.quats_raw,
     )

@@ -4,8 +4,17 @@ Splits the render pipeline so the O(N) per-Gaussian stage and the O(HW)
 resolve stage are plain differentiable jnp, while the O(N*HW) splat
 accumulation in the middle is pluggable (pure-jnp scan or Pallas kernel).
 
+Footprints are expressed as screen-space conics: the accumulation stage
+evaluates  w = op * exp(-0.5*(a dx^2 + 2 b dx dy + c dy^2))  for every
+(gaussian, pixel) pair. Two footprint models produce the conic:
+
+  "axis" — the reference's axis-aligned sigma (torch_renderer.py:146-150):
+           a = 1/sigma_x^2, b = 0, c = 1/sigma_y^2
+  "ewa"  — full quaternion+scale 3D covariance projected by the EWA
+           Jacobian (ops/ewa.py; the BASELINE north-star superset)
+
 Accumulator layout: the splat stage reduces per-Gaussian features through
-the Gaussian weights w_ip = op_i * exp(e_ip) into a per-pixel accumulator
+the weights into a per-pixel accumulator
   acc[p, :] = sum_i w_ip * feat[i, :]
 with feat = [r, g, b, 1, z_abs]  ->  acc columns = [R, G, B, Wsum, D].
 This single (HW, F) matmul-style reduction covers color, weight-sum and
@@ -20,6 +29,7 @@ from typing import NamedTuple, Tuple
 import jax.numpy as jnp
 
 from tpu_gaussians.core.types import Array, Gaussians, RenderConfig
+from tpu_gaussians.ops.ewa import axis_aligned_conic, ewa_conic
 from tpu_gaussians.ops.projection import ScreenSplats, project
 from tpu_gaussians.ops.sh import eval_colors
 
@@ -33,23 +43,36 @@ class SplatInputs(NamedTuple):
 
     px: Array       # (N,)
     py: Array       # (N,)
-    sigma_x: Array  # (N,) clamped >= 1
-    sigma_y: Array  # (N,) clamped >= 1
+    conic_a: Array  # (N,) conic xx coefficient
+    conic_b: Array  # (N,) conic xy coefficient (0 for axis-aligned)
+    conic_c: Array  # (N,) conic yy coefficient
+    sigma_x: Array  # (N,) effective x stddev in px (culling/bbox only)
+    sigma_y: Array  # (N,) effective y stddev in px (culling/bbox only)
     op_eff: Array   # (N,) effective opacity = max(op,0) * valid * alive
     feats: Array    # (N, FEAT_DIM) = [r, g, b, 1, z_abs]
 
 
 def prepare_splats(
-    g: Gaussians, view: Array, proj: Array, width: int, height: int
+    g: Gaussians, view: Array, proj: Array, width: int, height: int,
+    footprint: str = "axis",
 ) -> SplatInputs:
-    """O(N) per-Gaussian stage: projection, footprint, color eval, masking.
+    """O(N) per-Gaussian stage: projection, footprint conic, color eval,
+    masking.
 
-    Matches torch_renderer.py:143-150 (+ color clamp :144, opacity clamp
-    :177, validity mask :185) with the alive-capacity mask folded in.
+    "axis" matches torch_renderer.py:143-150 (+ color clamp :144, opacity
+    clamp :177, validity mask :185) with the alive-capacity mask folded in.
     """
     s: ScreenSplats = project(g.means, view, proj, width, height, g.scales)
     colors = eval_colors(g.sh if g.use_sh else g.colors, g.means, view)
     colors = jnp.clip(colors, 0.0, 1.0)
+
+    if footprint == "ewa":
+        quats = g.quats
+        if quats is None:
+            quats = jnp.zeros((g.capacity, 4), jnp.float32).at[:, 0].set(1.0)
+        conic = ewa_conic(g.means, g.scales, quats, view, proj, width, height)
+    else:
+        conic = axis_aligned_conic(s.sigma_x, s.sigma_y)
 
     op_eff = jnp.maximum(g.opacities, 0.0) * s.valid * g.alive_mask()
 
@@ -57,7 +80,9 @@ def prepare_splats(
         [colors, jnp.ones_like(s.z_abs)[:, None], s.z_abs[:, None]], axis=1
     )
     return SplatInputs(
-        px=s.px, py=s.py, sigma_x=s.sigma_x, sigma_y=s.sigma_y,
+        px=s.px, py=s.py,
+        conic_a=conic.a, conic_b=conic.b, conic_c=conic.c,
+        sigma_x=conic.sigma_x, sigma_y=conic.sigma_y,
         op_eff=op_eff, feats=feats,
     )
 

@@ -38,7 +38,8 @@ def render_accum(
     g: Gaussians, view: Array, proj: Array, config: RenderConfig
 ) -> Tuple[Array, Array, Array]:
     """Weighted-average mode -> (image, alpha, depth). Differentiable."""
-    s = prepare_splats(g, view, proj, config.width, config.height)
+    s = prepare_splats(g, view, proj, config.width, config.height,
+                       footprint=config.footprint)
     impl = _resolve_impl(config.impl)
     if impl == "pallas":
         from tpu_gaussians.ops.pallas import splat as pallas_splat
@@ -59,7 +60,8 @@ def render_sorted(
     g: Gaussians, view: Array, proj: Array, config: RenderConfig
 ) -> Tuple[Array, Array]:
     """Depth-sorted front-to-back mode -> (image, alpha)."""
-    s = prepare_splats(g, view, proj, config.width, config.height)
+    s = prepare_splats(g, view, proj, config.width, config.height,
+                       footprint=config.footprint)
     z = camera_z(g.means, view)
     return jnp_renderer.composite_sorted(
         s, z, config.background_array(), config.height, config.width,

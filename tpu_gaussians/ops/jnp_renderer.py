@@ -32,14 +32,18 @@ def _pad_blocks(s: SplatInputs, chunk: int) -> Tuple[SplatInputs, int]:
     n_pad = (-n) % chunk
     if n_pad == 0:
         return s, n
-    pad1 = lambda a: jnp.concatenate([a, jnp.zeros((n_pad,) + a.shape[1:], a.dtype)])
+    pad0 = lambda a: jnp.concatenate([a, jnp.zeros((n_pad,) + a.shape[1:], a.dtype)])
+    pad1 = lambda a: jnp.concatenate([a, jnp.ones((n_pad,), a.dtype)])
     padded = SplatInputs(
-        px=pad1(s.px),
-        py=pad1(s.py),
-        sigma_x=jnp.concatenate([s.sigma_x, jnp.ones((n_pad,), s.sigma_x.dtype)]),
-        sigma_y=jnp.concatenate([s.sigma_y, jnp.ones((n_pad,), s.sigma_y.dtype)]),
-        op_eff=pad1(s.op_eff),
-        feats=pad1(s.feats),
+        px=pad0(s.px),
+        py=pad0(s.py),
+        conic_a=pad1(s.conic_a),
+        conic_b=pad0(s.conic_b),
+        conic_c=pad1(s.conic_c),
+        sigma_x=pad1(s.sigma_x),
+        sigma_y=pad1(s.sigma_y),
+        op_eff=pad0(s.op_eff),
+        feats=pad0(s.feats),
     )
     return padded, n
 
@@ -49,13 +53,15 @@ def _chunk_weights(
 ) -> Array:
     """Gaussian falloff weights for one chunk: (C, HW).
 
-    w_ip = op_i * exp(-0.5 * (dx^2/sx^2 + dy^2/sy^2))   (torch_renderer.py:181-185)
+    w_ip = op_i * exp(-0.5 * (a dx^2 + 2 b dx dy + c dy^2))
+    (axis-aligned conic == torch_renderer.py:181-185 semantics)
     """
     dx = gx[None, :] - block.px[:, None]
     dy = gy[None, :] - block.py[:, None]
     e = -0.5 * (
-        (dx * dx) / (block.sigma_x[:, None] ** 2)
-        + (dy * dy) / (block.sigma_y[:, None] ** 2)
+        block.conic_a[:, None] * dx * dx
+        + 2.0 * block.conic_b[:, None] * dx * dy
+        + block.conic_c[:, None] * dy * dy
     )
     return block.op_eff[:, None] * jnp.exp(e)
 

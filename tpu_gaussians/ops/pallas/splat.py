@@ -51,14 +51,21 @@ from tpu_gaussians.core.types import Array
 from tpu_gaussians.ops.common import FEAT_DIM, SplatInputs
 
 FEAT_PAD = 8    # feats padded to 8 rows/cols: [r, g, b, 1, z, 0, 0, 0]
-GRAD_COLS = 16  # bwd per-gaussian outputs: [g_px, g_py, g_sx, g_sy, g_op,
-                #  g_feat[0:8], pad] -> 13 used, padded to 16
+GRAD_COLS = 16  # bwd per-gaussian outputs: [g_px, g_py, g_a, g_b, g_c,
+                #  g_op, g_feat[0:8], pad] -> 14 used, padded to 16
 
 # Conservative cull threshold: a gaussian is skipped for a pixel tile only
 # when its weight there is below W_CULL everywhere. At 1e-14 the total
 # dropped mass per pixel is < N*1e-14 — below f32 resolution of the
 # accumulators, so culling preserves allclose parity with the dense oracle.
 W_CULL = 1e-14
+
+
+def _sigma_y_from_conic(a, b, c) -> Array:
+    """Effective y stddev of the conic footprint: Sigma_yy of the inverse,
+    sigma_y^2 = a / (a*c - b^2). Reduces to sigma_y for b=0 axis conics."""
+    det = jnp.maximum(a * c - b * b, 1e-12)
+    return jnp.sqrt(jnp.maximum(a, 1e-12) / det)
 
 
 def _band_block_mask(py, sigma_y, op_eff, n_bands: int, tp: int,
@@ -104,8 +111,8 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------- forward
 
 
-def _fwd_kernel(mask_ref, px_ref, py_ref, sx_ref, sy_ref, op_ref, featsT_ref,
-                acc_ref, *, width: int, tp: int):
+def _fwd_kernel(mask_ref, px_ref, py_ref, ca_ref, cb_ref, cc_ref, op_ref,
+                featsT_ref, acc_ref, *, width: int, tp: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -120,14 +127,11 @@ def _fwd_kernel(mask_ref, px_ref, py_ref, sx_ref, sy_ref, op_ref, featsT_ref,
         gx = (idx % width).astype(jnp.float32) + 0.5   # (1, TP)
         gy = (idx // width).astype(jnp.float32) + 0.5
 
-        px = px_ref[:]          # (NB, 1)
-        py = py_ref[:]
-        inv_sx2 = 1.0 / (sx_ref[:] * sx_ref[:])
-        inv_sy2 = 1.0 / (sy_ref[:] * sy_ref[:])
-
-        dx = gx - px            # (NB, TP)
-        dy = gy - py
-        e = -0.5 * (dx * dx * inv_sx2 + dy * dy * inv_sy2)
+        dx = gx - px_ref[:]     # (NB, TP)
+        dy = gy - py_ref[:]
+        e = -0.5 * (ca_ref[:] * dx * dx
+                    + 2.0 * cb_ref[:] * dx * dy
+                    + cc_ref[:] * dy * dy)
         w = op_ref[:] * jnp.exp(e)
 
         acc_ref[:] += jnp.dot(
@@ -136,7 +140,7 @@ def _fwd_kernel(mask_ref, px_ref, py_ref, sx_ref, sy_ref, op_ref, featsT_ref,
         )
 
 
-def _fwd_call(mask, px, py, sx, sy, op, featsT, hw_pad: int, width: int,
+def _fwd_call(mask, px, py, ca, cb, cc, op, featsT, hw_pad: int, width: int,
               nb: int, tp: int) -> Array:
     n_pad = px.shape[0]
     grid = (hw_pad // tp, n_pad // nb)
@@ -149,8 +153,9 @@ def _fwd_call(mask, px, py, sx, sy, op, featsT, hw_pad: int, width: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # mask
             pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # px
             pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # py
-            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # sx
-            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # sy
+            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # ca
+            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # cb
+            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # cc
             pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),  # op
             pl.BlockSpec((FEAT_PAD, nb), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),                   # featsT
@@ -167,14 +172,14 @@ def _fwd_call(mask, px, py, sx, sy, op, featsT, hw_pad: int, width: int,
             transcendentals=n_pad * hw_pad,
         ),
         interpret=_interpret(),
-    )(mask, px, py, sx, sy, op, featsT)
+    )(mask, px, py, ca, cb, cc, op, featsT)
 
 
 # ---------------------------------------------------------------- backward
 
 
-def _bwd_kernel(mask_ref, px_ref, py_ref, sx_ref, sy_ref, op_ref, feats_ref,
-                g8_ref, gT_ref, out_ref, *, width: int, tp: int):
+def _bwd_kernel(mask_ref, px_ref, py_ref, ca_ref, cb_ref, cc_ref, op_ref,
+                feats_ref, g8_ref, gT_ref, out_ref, *, width: int, tp: int):
     i = pl.program_id(0)  # gaussian block
     j = pl.program_id(1)  # pixel tile index (inner loop)
 
@@ -189,16 +194,13 @@ def _bwd_kernel(mask_ref, px_ref, py_ref, sx_ref, sy_ref, op_ref, feats_ref,
         gx = (idx % width).astype(jnp.float32) + 0.5
         gy = (idx // width).astype(jnp.float32) + 0.5
 
-        px = px_ref[:]                  # (NB, 1)
-        py = py_ref[:]
-        sx = sx_ref[:]
-        sy = sy_ref[:]
-        inv_sx2 = 1.0 / (sx * sx)
-        inv_sy2 = 1.0 / (sy * sy)
+        ca = ca_ref[:]                  # (NB, 1)
+        cb = cb_ref[:]
+        cc = cc_ref[:]
 
-        dx = gx - px                    # (NB, TP)
-        dy = gy - py
-        e = -0.5 * (dx * dx * inv_sx2 + dy * dy * inv_sy2)
+        dx = gx - px_ref[:]             # (NB, TP)
+        dy = gy - py_ref[:]
+        e = -0.5 * (ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy)
         exp_e = jnp.exp(e)
         w = op_ref[:] * exp_e
 
@@ -211,22 +213,25 @@ def _bwd_kernel(mask_ref, px_ref, py_ref, sx_ref, sy_ref, op_ref, feats_ref,
 
         g_e = w * g_w
         g_op = jnp.sum(exp_e * g_w, axis=1, keepdims=True)        # (NB, 1)
-        g_px = jnp.sum(g_e * dx * inv_sx2, axis=1, keepdims=True)
-        g_py = jnp.sum(g_e * dy * inv_sy2, axis=1, keepdims=True)
-        g_sx = jnp.sum(g_e * dx * dx * inv_sx2, axis=1, keepdims=True) / sx
-        g_sy = jnp.sum(g_e * dy * dy * inv_sy2, axis=1, keepdims=True) / sy
+        # de/dpx = a dx + b dy ; de/dpy = b dx + c dy
+        g_px = jnp.sum(g_e * (ca * dx + cb * dy), axis=1, keepdims=True)
+        g_py = jnp.sum(g_e * (cb * dx + cc * dy), axis=1, keepdims=True)
+        # de/da = -dx^2/2 ; de/db = -dx dy ; de/dc = -dy^2/2
+        g_ca = jnp.sum(g_e * (-0.5) * dx * dx, axis=1, keepdims=True)
+        g_cb = jnp.sum(g_e * (-1.0) * dx * dy, axis=1, keepdims=True)
+        g_cc = jnp.sum(g_e * (-0.5) * dy * dy, axis=1, keepdims=True)
 
         nb = g_feat.shape[0]
         contrib = jnp.concatenate(
-            [g_px, g_py, g_sx, g_sy, g_op, g_feat,
-             jnp.zeros((nb, GRAD_COLS - 5 - FEAT_PAD), jnp.float32)],
+            [g_px, g_py, g_ca, g_cb, g_cc, g_op, g_feat,
+             jnp.zeros((nb, GRAD_COLS - 6 - FEAT_PAD), jnp.float32)],
             axis=1,
         )
         out_ref[:] += contrib
 
 
-def _bwd_call(mask, px, py, sx, sy, op, feats, g8, gT, hw_pad: int, width: int,
-              nb: int, tp: int) -> Array:
+def _bwd_call(mask, px, py, ca, cb, cc, op, feats, g8, gT, hw_pad: int,
+              width: int, nb: int, tp: int) -> Array:
     n_pad = px.shape[0]
     grid = (n_pad // nb, hw_pad // tp)
     gblock = lambda i, j: (i, 0)
@@ -236,6 +241,7 @@ def _bwd_call(mask, px, py, sx, sy, op, feats, g8, gT, hw_pad: int, width: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                  # mask
+            pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, 1), gblock, memory_space=pltpu.VMEM),
@@ -260,7 +266,7 @@ def _bwd_call(mask, px, py, sx, sy, op, feats, g8, gT, hw_pad: int, width: int,
             transcendentals=n_pad * hw_pad,
         ),
         interpret=_interpret(),
-    )(mask, px, py, sx, sy, op, feats, g8, gT)
+    )(mask, px, py, ca, cb, cc, op, feats, g8, gT)
 
 
 # ------------------------------------------------------------- custom VJP
@@ -270,71 +276,75 @@ def _pad_rows(a: Array, n_pad: int) -> Array:
     return jnp.pad(a, ((0, n_pad - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _splat(px, py, sx, sy, op, feats, height, width):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _splat(px, py, ca, cb, cc, op, feats, height, width):
     """acc (H*W, FEAT_DIM) = sum_i w_i(p) * feats_i  via the Pallas kernel."""
-    return _splat_fwd(px, py, sx, sy, op, feats, height, width)[0]
+    return _splat_fwd(px, py, ca, cb, cc, op, feats, height, width)[0]
 
 
-def _pad_inputs(px, py, sx, sy, op, feats, n_pad):
-    """Pad to the gaussian-block multiple: op=0 (w==0), sigma=1 (no div0)."""
+def _pad_inputs(px, py, ca, cb, cc, op, feats, n_pad):
+    """Pad to the gaussian-block multiple: op=0 (w==0), conic=identity."""
     n = px.shape[0]
     px_p = _pad_rows(px[:, None], n_pad)
     py_p = _pad_rows(py[:, None], n_pad)
-    sx_p = jnp.pad(sx[:, None], ((0, n_pad - n), (0, 0)), constant_values=1.0)
-    sy_p = jnp.pad(sy[:, None], ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    ca_p = jnp.pad(ca[:, None], ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    cb_p = _pad_rows(cb[:, None], n_pad)
+    cc_p = jnp.pad(cc[:, None], ((0, n_pad - n), (0, 0)), constant_values=1.0)
     op_p = _pad_rows(op[:, None], n_pad)
     feats_p = jnp.pad(feats, ((0, n_pad - n), (0, FEAT_PAD - FEAT_DIM)))
-    return px_p, py_p, sx_p, sy_p, op_p, feats_p
+    return px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p
 
 
-def _splat_fwd(px, py, sx, sy, op, feats, height, width):
+def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width):
     n = px.shape[0]
     hw = height * width
     nb, tp = _tile_sizes(n, hw)
     n_pad = _round_up(n, nb)
     hw_pad = _round_up(hw, tp)
 
-    px_p, py_p, sx_p, sy_p, op_p, feats_p = _pad_inputs(
-        px, py, sx, sy, op, feats, n_pad)
-    mask = _band_block_mask(py_p[:, 0], sy_p[:, 0], op_p[:, 0],
+    px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
+        px, py, ca, cb, cc, op, feats, n_pad)
+    sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
+    mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
                             hw_pad // tp, tp, nb, width)
 
-    acc8 = _fwd_call(mask, px_p, py_p, sx_p, sy_p, op_p, feats_p.T,
+    acc8 = _fwd_call(mask, px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p.T,
                      hw_pad, width, nb, tp)           # (FEAT_PAD, hw_pad)
     acc = acc8[:FEAT_DIM, :hw].T                      # (hw, FEAT_DIM)
-    residuals = (px, py, sx, sy, op, feats)
+    residuals = (px, py, ca, cb, cc, op, feats)
     return acc, residuals
 
 
 def _splat_bwd(height, width, residuals, g):
-    px, py, sx, sy, op, feats = residuals
+    px, py, ca, cb, cc, op, feats = residuals
     n = px.shape[0]
     hw = height * width
     nb, tp = _tile_sizes(n, hw)
     n_pad = _round_up(n, nb)
     hw_pad = _round_up(hw, tp)
 
-    px_p, py_p, sx_p, sy_p, op_p, feats_p = _pad_inputs(
-        px, py, sx, sy, op, feats, n_pad)
-    mask = _band_block_mask(py_p[:, 0], sy_p[:, 0], op_p[:, 0],
+    px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
+        px, py, ca, cb, cc, op, feats, n_pad)
+    sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
+    mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
                             hw_pad // tp, tp, nb, width)
 
     gT = jnp.pad(g, ((0, hw_pad - hw), (0, FEAT_PAD - FEAT_DIM)))  # (hw_pad, 8)
     g8 = gT.T                                                       # (8, hw_pad)
 
-    out = _bwd_call(mask, px_p, py_p, sx_p, sy_p, op_p, feats_p, g8, gT,
+    out = _bwd_call(mask, px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p, g8, gT,
                     hw_pad, width, nb, tp)            # (n_pad, GRAD_COLS)
     out = out[:n]
     g_px = out[:, 0]
     g_py = out[:, 1]
-    g_sx = out[:, 2]
-    g_sy = out[:, 3]
-    g_op = out[:, 4]
-    g_feats = out[:, 5 : 5 + FEAT_DIM]
+    g_ca = out[:, 2]
+    g_cb = out[:, 3]
+    g_cc = out[:, 4]
+    g_op = out[:, 5]
+    g_feats = out[:, 6 : 6 + FEAT_DIM]
     # Column 3 of feats is the constant 1 — its cotangent is not used by
     # callers, but return it faithfully (it is mathematically sum_p g_W).
-    return g_px, g_py, g_sx, g_sy, g_op, g_feats
+    return g_px, g_py, g_ca, g_cb, g_cc, g_op, g_feats
 
 
 _splat.defvjp(_splat_fwd, _splat_bwd)
@@ -353,5 +363,5 @@ def splat_accumulate(s: SplatInputs, height: int, width: int,
     if sort and s.px.shape[0] > 512:
         order = jnp.argsort(s.py)
         s = jax.tree.map(lambda a: a[order], s)
-    return _splat(s.px, s.py, s.sigma_x, s.sigma_y, s.op_eff, s.feats,
-                  height, width)
+    return _splat(s.px, s.py, s.conic_a, s.conic_b, s.conic_c, s.op_eff,
+                  s.feats, height, width)

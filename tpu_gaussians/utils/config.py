@@ -47,6 +47,7 @@ class FitConfig:
     # --- TPU-native extensions (no reference counterpart) ---
     seed: int = 0
     impl: str = "auto"            # renderer impl: auto | jnp | pallas
+    footprint: str = "axis"       # axis (reference parity) | ewa (quat+cov)
     clone_metric: str = "opacity"  # densify ranking: opacity (reference) | grad
     log_every: int = 25            # print cadence (reference prints every 25, :315)
     checkpoint_every: int = 0      # 0 = only final artifacts (reference behavior)
