@@ -1,0 +1,123 @@
+"""Scaling-efficiency harness (BASELINE config #5 analog).
+
+Measures the sharded fit step's throughput at 1, 2, ..., D devices on the
+current platform (real multi-chip mesh when available; a virtual CPU mesh
+via --virtual N elsewhere — latency numbers on the virtual mesh are
+demonstrative only). Weak scaling: each device gets the same per-device
+view load, so ideal scaling keeps per-step time flat while total
+pixels/s grows linearly. Prints one JSON line per mesh size plus a final
+efficiency summary.
+
+Usage:
+  python bench/scaling.py [--virtual 8] [--size 256] [--n 10000]
+        [--views_per_device 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", type=int, default=0,
+                    help="force N virtual CPU devices (testing without a pod)")
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--n", type=int, default=10000)
+    ap.add_argument("--views_per_device", type=int, default=2)
+    ap.add_argument("--k", type=int, default=10, help="steps per timing scan")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.virtual)
+
+    from tpu_gaussians.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax.numpy as jnp
+
+    from tpu_gaussians.core import camera as cam
+    from tpu_gaussians.core.types import RenderConfig
+    from tpu_gaussians.fit.loss import LossConfig
+    from tpu_gaussians.fit.step import init_state, make_optimizer, make_train_step
+    from tpu_gaussians.models.gaussian_model import init_params
+    from tpu_gaussians.parallel.mesh import make_mesh, replicated, view_sharding
+
+    devices = jax.devices()
+    size = args.size
+    raw = init_params(jax.random.PRNGKey(0), args.n, args.n, use_sh=True)
+    rc = RenderConfig(width=size, height=size, impl="auto", return_aux=True)
+    lc = LossConfig(silhouette_weight=0.0, depth_weight=0.0)
+    tx = make_optimizer(0.02)
+
+    inner = make_train_step(tx, rc, lc, False, False, jit=False)
+
+    def multi(state, cams, targets, masks, depths):
+        def body(s, _):
+            s2, m = inner(s, cams, targets, masks, depths)
+            return s2, m["loss"]
+        return jax.lax.scan(body, state, None, length=args.k)
+
+    jf = jax.jit(multi)
+
+    def measure(n_dev: int) -> float:
+        v = args.views_per_device * n_dev
+        cams = cam.orbit_cameras(v, size, size)
+        targets = jax.random.uniform(jax.random.PRNGKey(1),
+                                     (v, size, size, 3), jnp.float32)
+        zeros = jnp.zeros((v, size, size), jnp.float32)
+        st = init_state(raw, tx)
+        if n_dev > 1:
+            # GSPMD follows the input shardings: state replicated, views
+            # sharded -> gradient all-reduce over the views axis.
+            mesh = make_mesh(n_dev, 1, devices=devices[:n_dev])
+            cams = cam.Camera(
+                view=jax.device_put(cams.view, view_sharding(mesh, 3)),
+                proj=jax.device_put(cams.proj, view_sharding(mesh, 3)),
+            )
+            targets = jax.device_put(targets, view_sharding(mesh, 4))
+            zeros = jax.device_put(zeros, view_sharding(mesh, 3))
+            st = jax.device_put(st, replicated(mesh))
+
+        _, losses = jf(st, cams, targets, zeros, zeros)
+        float(losses[-1])
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _, losses = jf(st, cams, targets, zeros, zeros)
+            float(losses[-1])
+            best = min(best, time.perf_counter() - t0)
+        return best / args.k
+
+    sizes = []
+    d = 1
+    while d <= len(devices):
+        sizes.append(d)
+        d *= 2
+    results = {}
+    for n_dev in sizes:
+        t = measure(n_dev)
+        pix = args.views_per_device * n_dev * size * size / t
+        results[n_dev] = pix
+        print(json.dumps({"devices": n_dev, "s_per_step": round(t, 5),
+                          "pixels_per_s": round(pix, 1)}), flush=True)
+
+    if len(sizes) > 1:
+        eff = results[sizes[-1]] / (results[1] * sizes[-1])
+        print(json.dumps({"metric": "scaling_efficiency",
+                          "devices": sizes[-1],
+                          "value": round(eff, 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

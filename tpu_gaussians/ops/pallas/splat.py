@@ -175,6 +175,181 @@ def _fwd_call(mask, px, py, ca, cb, cc, op, featsT, hw_pad: int, width: int,
     )(mask, px, py, ca, cb, cc, op, featsT)
 
 
+# ------------------------------------------------- forward v2 (range loop)
+#
+# Measurement on a 100k-gaussian 1024x1024 scene showed ~93% of v1's time
+# is per-grid-step overhead (bands x blocks steps at ~2us each), not
+# compute. v2 eliminates the gaussian-block grid dimension: the grid runs
+# over pixel bands only, and each band's kernel fori_loops over its OWN
+# contiguous range of active (py-sorted) gaussian blocks, slicing
+# whole-array VMEM-resident inputs dynamically. Used whenever the inputs
+# fit VMEM (see _v2_fits); v1 remains the fallback for very large N.
+
+NB2 = 256            # gaussian block inside the v2 range loop
+V2_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _block_ranges(mask: Array) -> Tuple[Array, Array]:
+    """mask (bands, blocks) -> per-band (first_active_block, count)."""
+    any_active = mask.any(axis=1)
+    first = jnp.argmax(mask, axis=1)
+    last = mask.shape[1] - 1 - jnp.argmax(mask[:, ::-1], axis=1)
+    lo = jnp.where(any_active, first, 0).astype(jnp.int32)
+    cnt = jnp.where(any_active, last - first + 1, 0).astype(jnp.int32)
+    return lo, cnt
+
+
+def _v2_fits(n_pad: int, tp: int, backward: bool) -> bool:
+    per_gaussian = (6 + FEAT_PAD + (GRAD_COLS if backward else 0)) * 4
+    fixed = NB2 * tp * 4 + 4 * FEAT_PAD * tp * 4
+    return n_pad * per_gaussian + fixed <= V2_VMEM_BUDGET
+
+
+def _fwd_kernel_v2(lo_ref, cnt_ref, px_ref, py_ref, ca_ref, cb_ref, cc_ref,
+                   op_ref, featsT_ref, acc_ref, *, width: int, tp: int):
+    i = pl.program_id(0)
+    base = i * tp
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tp), dimension=1)
+    gx = (idx % width).astype(jnp.float32) + 0.5
+    gy = (idx // width).astype(jnp.float32) + 0.5
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    lo = lo_ref[i]
+    cnt = cnt_ref[i]
+
+    def body(k, carry):
+        b = pl.multiple_of((lo + k) * NB2, NB2)
+        dx = gx - px_ref[pl.ds(b, NB2), :]
+        dy = gy - py_ref[pl.ds(b, NB2), :]
+        e = -0.5 * (ca_ref[pl.ds(b, NB2), :] * dx * dx
+                    + 2.0 * cb_ref[pl.ds(b, NB2), :] * dx * dy
+                    + cc_ref[pl.ds(b, NB2), :] * dy * dy)
+        w = op_ref[pl.ds(b, NB2), :] * jnp.exp(e)
+        acc_ref[:] += jnp.dot(
+            featsT_ref[:, pl.ds(b, NB2)], w,
+            preferred_element_type=jnp.float32, precision="highest",
+        )
+        return carry
+
+    jax.lax.fori_loop(0, cnt, body, 0)
+
+
+def _fwd_call_v2(lo, cnt, px, py, ca, cb, cc, op, featsT,
+                 hw_pad: int, width: int, tp: int) -> Array:
+    n_pad = px.shape[0]
+    grid = (hw_pad // tp,)
+    full = lambda i: (0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_v2, width=width, tp=tp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lo
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cnt
+            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),  # px
+            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),  # py
+            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),  # ca
+            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),  # cb
+            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),  # cc
+            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),  # op
+            pl.BlockSpec((FEAT_PAD, n_pad), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((FEAT_PAD, tp), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((FEAT_PAD, hw_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(lo, cnt, px, py, ca, cb, cc, op, featsT)
+
+
+def _bwd_kernel_v2(lo_ref, cnt_ref, px_ref, py_ref, ca_ref, cb_ref, cc_ref,
+                   op_ref, feats_ref, g8_ref, gT_ref, out_ref,
+                   *, width: int, tp: int):
+    i = pl.program_id(0)  # band
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    base = i * tp
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tp), dimension=1)
+    gx = (idx % width).astype(jnp.float32) + 0.5
+    gy = (idx // width).astype(jnp.float32) + 0.5
+
+    lo = lo_ref[i]
+    cnt = cnt_ref[i]
+
+    def body(k, carry):
+        b = pl.multiple_of((lo + k) * NB2, NB2)
+        ca = ca_ref[pl.ds(b, NB2), :]
+        cb = cb_ref[pl.ds(b, NB2), :]
+        cc = cc_ref[pl.ds(b, NB2), :]
+        dx = gx - px_ref[pl.ds(b, NB2), :]
+        dy = gy - py_ref[pl.ds(b, NB2), :]
+        e = -0.5 * (ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy)
+        exp_e = jnp.exp(e)
+        w = op_ref[pl.ds(b, NB2), :] * exp_e
+
+        g_w = jnp.dot(feats_ref[pl.ds(b, NB2), :], g8_ref[:],
+                      preferred_element_type=jnp.float32, precision="highest")
+        g_feat = jnp.dot(w, gT_ref[:],
+                         preferred_element_type=jnp.float32, precision="highest")
+
+        g_e = w * g_w
+        g_op = jnp.sum(exp_e * g_w, axis=1, keepdims=True)
+        g_px = jnp.sum(g_e * (ca * dx + cb * dy), axis=1, keepdims=True)
+        g_py = jnp.sum(g_e * (cb * dx + cc * dy), axis=1, keepdims=True)
+        g_ca = jnp.sum(g_e * (-0.5) * dx * dx, axis=1, keepdims=True)
+        g_cb = jnp.sum(g_e * (-1.0) * dx * dy, axis=1, keepdims=True)
+        g_cc = jnp.sum(g_e * (-0.5) * dy * dy, axis=1, keepdims=True)
+
+        contrib = jnp.concatenate(
+            [g_px, g_py, g_ca, g_cb, g_cc, g_op, g_feat,
+             jnp.zeros((NB2, GRAD_COLS - 6 - FEAT_PAD), jnp.float32)],
+            axis=1,
+        )
+        out_ref[pl.ds(b, NB2), :] += contrib
+        return carry
+
+    jax.lax.fori_loop(0, cnt, body, 0)
+
+
+def _bwd_call_v2(lo, cnt, px, py, ca, cb, cc, op, feats, g8, gT,
+                 hw_pad: int, width: int, tp: int) -> Array:
+    n_pad = px.shape[0]
+    grid = (hw_pad // tp,)
+    full = lambda i: (0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_v2, width=width, tp=tp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lo
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cnt
+            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, FEAT_PAD), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((FEAT_PAD, tp), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # g8 (per band)
+            pl.BlockSpec((tp, FEAT_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),   # gT (per band)
+        ],
+        out_specs=pl.BlockSpec((n_pad, GRAD_COLS), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, GRAD_COLS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(lo, cnt, px, py, ca, cb, cc, op, feats, g8, gT)
+
+
 # ---------------------------------------------------------------- backward
 
 
@@ -299,17 +474,27 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width):
     n = px.shape[0]
     hw = height * width
     nb, tp = _tile_sizes(n, hw)
-    n_pad = _round_up(n, nb)
     hw_pad = _round_up(hw, tp)
 
-    px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
-        px, py, ca, cb, cc, op, feats, n_pad)
-    sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
-    mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
-                            hw_pad // tp, tp, nb, width)
-
-    acc8 = _fwd_call(mask, px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p.T,
-                     hw_pad, width, nb, tp)           # (FEAT_PAD, hw_pad)
+    n_pad2 = _round_up(n, NB2)
+    if _v2_fits(n_pad2, tp, backward=False):
+        px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
+            px, py, ca, cb, cc, op, feats, n_pad2)
+        sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
+        mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
+                                hw_pad // tp, tp, NB2, width)
+        lo, cnt = _block_ranges(mask)
+        acc8 = _fwd_call_v2(lo, cnt, px_p, py_p, ca_p, cb_p, cc_p, op_p,
+                            feats_p.T, hw_pad, width, tp)
+    else:
+        n_pad = _round_up(n, nb)
+        px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
+            px, py, ca, cb, cc, op, feats, n_pad)
+        sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
+        mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
+                                hw_pad // tp, tp, nb, width)
+        acc8 = _fwd_call(mask, px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p.T,
+                         hw_pad, width, nb, tp)       # (FEAT_PAD, hw_pad)
     acc = acc8[:FEAT_DIM, :hw].T                      # (hw, FEAT_DIM)
     residuals = (px, py, ca, cb, cc, op, feats)
     return acc, residuals
@@ -320,20 +505,30 @@ def _splat_bwd(height, width, residuals, g):
     n = px.shape[0]
     hw = height * width
     nb, tp = _tile_sizes(n, hw)
-    n_pad = _round_up(n, nb)
     hw_pad = _round_up(hw, tp)
-
-    px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
-        px, py, ca, cb, cc, op, feats, n_pad)
-    sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
-    mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
-                            hw_pad // tp, tp, nb, width)
 
     gT = jnp.pad(g, ((0, hw_pad - hw), (0, FEAT_PAD - FEAT_DIM)))  # (hw_pad, 8)
     g8 = gT.T                                                       # (8, hw_pad)
 
-    out = _bwd_call(mask, px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p, g8, gT,
-                    hw_pad, width, nb, tp)            # (n_pad, GRAD_COLS)
+    n_pad2 = _round_up(n, NB2)
+    if _v2_fits(n_pad2, tp, backward=True):
+        px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
+            px, py, ca, cb, cc, op, feats, n_pad2)
+        sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
+        mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
+                                hw_pad // tp, tp, NB2, width)
+        lo, cnt = _block_ranges(mask)
+        out = _bwd_call_v2(lo, cnt, px_p, py_p, ca_p, cb_p, cc_p, op_p,
+                           feats_p, g8, gT, hw_pad, width, tp)
+    else:
+        n_pad = _round_up(n, nb)
+        px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
+            px, py, ca, cb, cc, op, feats, n_pad)
+        sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
+        mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
+                                hw_pad // tp, tp, nb, width)
+        out = _bwd_call(mask, px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p,
+                        g8, gT, hw_pad, width, nb, tp)  # (n_pad, GRAD_COLS)
     out = out[:n]
     g_px = out[:, 0]
     g_py = out[:, 1]
