@@ -175,18 +175,28 @@ def _fwd_call(mask, px, py, ca, cb, cc, op, featsT, hw_pad: int, width: int,
     )(mask, px, py, ca, cb, cc, op, featsT)
 
 
-# ------------------------------------------------- forward v2 (range loop)
+# ------------------------------------------------- v2 kernels (range loop)
 #
 # Measurement on a 100k-gaussian 1024x1024 scene showed ~93% of v1's time
 # is per-grid-step overhead (bands x blocks steps at ~2us each), not
 # compute. v2 eliminates the gaussian-block grid dimension: the grid runs
 # over pixel bands only, and each band's kernel fori_loops over its OWN
-# contiguous range of active (py-sorted) gaussian blocks, slicing
-# whole-array VMEM-resident inputs dynamically. Used whenever the inputs
-# fit VMEM (see _v2_fits); v1 remains the fallback for very large N.
+# contiguous range of active (py-sorted) gaussian blocks.
+#
+# Layout: all per-gaussian quantities live in ONE packed VMEM-resident
+# array gdata (GD_ROWS, n_pad) — rows [px, py, ca, cb, cc, op,
+# feats(r,g,b,1,z), pad] — 64 bytes/gaussian, so even 1M gaussians fit
+# the 128MB v5e VMEM. Pixels sit on the SUBLANE axis and gaussians on the
+# LANE axis ((TP, NB2) weight tiles), which makes every dynamic slice a
+# lane-range read and every backward reduction a sublane sum — zero
+# in-kernel transposes. v1 remains the fallback for very large N.
 
-NB2 = 256            # gaussian block inside the v2 range loop
-V2_VMEM_BUDGET = 13 * 1024 * 1024
+NB2 = 256             # gaussian block inside the v2 range loop
+TP2 = 1024            # pixels per band tile in v2
+V2_VMEM_BUDGET = 96 * 1024 * 1024
+
+GD_ROWS = 16          # packed rows: 6 params + FEAT_PAD feats + pad
+GD_FEAT0 = 6          # feats start row
 
 
 def _block_ranges(mask: Array) -> Tuple[Array, Array]:
@@ -199,19 +209,31 @@ def _block_ranges(mask: Array) -> Tuple[Array, Array]:
     return lo, cnt
 
 
-def _v2_fits(n_pad: int, tp: int, backward: bool) -> bool:
-    per_gaussian = (6 + FEAT_PAD + (GRAD_COLS if backward else 0)) * 4
-    fixed = NB2 * tp * 4 + 4 * FEAT_PAD * tp * 4
+def _v2_fits(n_pad: int, backward: bool) -> bool:
+    per_gaussian = (GD_ROWS + (GD_ROWS if backward else 0)) * 4
+    fixed = 8 * NB2 * TP2 * 4  # weight tiles + elementwise temporaries
     return n_pad * per_gaussian + fixed <= V2_VMEM_BUDGET
 
 
-def _fwd_kernel_v2(lo_ref, cnt_ref, px_ref, py_ref, ca_ref, cb_ref, cc_ref,
-                   op_ref, featsT_ref, acc_ref, *, width: int, tp: int):
-    i = pl.program_id(0)
+def _pack_gdata(px, py, ca, cb, cc, op, feats):
+    """(n,)-arrays + feats (n, FEAT_PAD) -> packed (GD_ROWS, n)."""
+    rows = [px, py, ca, cb, cc, op] + [feats[:, f] for f in range(FEAT_PAD)]
+    rows += [jnp.zeros_like(px)] * (GD_ROWS - len(rows))
+    return jnp.stack(rows, axis=0)
+
+
+def _v2_pixel_coords(i, tp: int, width: int):
     base = i * tp
-    idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tp), dimension=1)
-    gx = (idx % width).astype(jnp.float32) + 0.5
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (tp, 1), dimension=0)
+    gx = (idx % width).astype(jnp.float32) + 0.5   # (TP, 1)
     gy = (idx // width).astype(jnp.float32) + 0.5
+    return gx, gy
+
+
+def _fwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, acc_ref, *, width: int,
+                   tp: int):
+    i = pl.program_id(0)
+    gx, gy = _v2_pixel_coords(i, tp, width)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     lo = lo_ref[i]
@@ -219,14 +241,17 @@ def _fwd_kernel_v2(lo_ref, cnt_ref, px_ref, py_ref, ca_ref, cb_ref, cc_ref,
 
     def body(k, carry):
         b = pl.multiple_of((lo + k) * NB2, NB2)
-        dx = gx - px_ref[pl.ds(b, NB2), :]
-        dy = gy - py_ref[pl.ds(b, NB2), :]
-        e = -0.5 * (ca_ref[pl.ds(b, NB2), :] * dx * dx
-                    + 2.0 * cb_ref[pl.ds(b, NB2), :] * dx * dy
-                    + cc_ref[pl.ds(b, NB2), :] * dy * dy)
-        w = op_ref[pl.ds(b, NB2), :] * jnp.exp(e)
-        acc_ref[:] += jnp.dot(
-            featsT_ref[:, pl.ds(b, NB2)], w,
+        gd = gdata_ref[:, pl.ds(b, NB2)]           # (GD_ROWS, NB2)
+        dx = gx - gd[0:1, :]                       # (TP, NB2)
+        dy = gy - gd[1:2, :]
+        e = -0.5 * (gd[2:3, :] * dx * dx
+                    + 2.0 * gd[3:4, :] * dx * dy
+                    + gd[4:5, :] * dy * dy)
+        w = gd[5:6, :] * jnp.exp(e)                # (TP, NB2)
+        feats8 = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]  # (8, NB2)
+        # acc[p, f] += sum_i w[p, i] * feats8[f, i]
+        acc_ref[:] += jax.lax.dot_general(
+            w, feats8, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision="highest",
         )
         return carry
@@ -234,38 +259,30 @@ def _fwd_kernel_v2(lo_ref, cnt_ref, px_ref, py_ref, ca_ref, cb_ref, cc_ref,
     jax.lax.fori_loop(0, cnt, body, 0)
 
 
-def _fwd_call_v2(lo, cnt, px, py, ca, cb, cc, op, featsT,
-                 hw_pad: int, width: int, tp: int) -> Array:
-    n_pad = px.shape[0]
-    grid = (hw_pad // tp,)
-    full = lambda i: (0, 0)
+def _fwd_call_v2(lo, cnt, gdata, hw_pad: int, width: int) -> Array:
+    n_pad = gdata.shape[1]
+    grid = (hw_pad // TP2,)
 
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_v2, width=width, tp=tp),
+        functools.partial(_fwd_kernel_v2, width=width, tp=TP2),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # lo
             pl.BlockSpec(memory_space=pltpu.SMEM),   # cnt
-            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),  # px
-            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),  # py
-            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),  # ca
-            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),  # cb
-            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),  # cc
-            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),  # op
-            pl.BlockSpec((FEAT_PAD, n_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((GD_ROWS, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # gdata (resident)
         ],
-        out_specs=pl.BlockSpec((FEAT_PAD, tp), lambda i: (0, i),
+        out_specs=pl.BlockSpec((TP2, FEAT_PAD), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((FEAT_PAD, hw_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((hw_pad, FEAT_PAD), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(lo, cnt, px, py, ca, cb, cc, op, featsT)
+    )(lo, cnt, gdata)
 
 
-def _bwd_kernel_v2(lo_ref, cnt_ref, px_ref, py_ref, ca_ref, cb_ref, cc_ref,
-                   op_ref, feats_ref, g8_ref, gT_ref, out_ref,
+def _bwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, gT_ref, out_ref,
                    *, width: int, tp: int):
     i = pl.program_id(0)  # band
 
@@ -273,81 +290,75 @@ def _bwd_kernel_v2(lo_ref, cnt_ref, px_ref, py_ref, ca_ref, cb_ref, cc_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    base = i * tp
-    idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tp), dimension=1)
-    gx = (idx % width).astype(jnp.float32) + 0.5
-    gy = (idx // width).astype(jnp.float32) + 0.5
-
+    gx, gy = _v2_pixel_coords(i, tp, width)
     lo = lo_ref[i]
     cnt = cnt_ref[i]
 
     def body(k, carry):
         b = pl.multiple_of((lo + k) * NB2, NB2)
-        ca = ca_ref[pl.ds(b, NB2), :]
-        cb = cb_ref[pl.ds(b, NB2), :]
-        cc = cc_ref[pl.ds(b, NB2), :]
-        dx = gx - px_ref[pl.ds(b, NB2), :]
-        dy = gy - py_ref[pl.ds(b, NB2), :]
+        gd = gdata_ref[:, pl.ds(b, NB2)]           # (GD_ROWS, NB2)
+        ca = gd[2:3, :]
+        cb = gd[3:4, :]
+        cc = gd[4:5, :]
+        dx = gx - gd[0:1, :]                       # (TP, NB2)
+        dy = gy - gd[1:2, :]
         e = -0.5 * (ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy)
         exp_e = jnp.exp(e)
-        w = op_ref[pl.ds(b, NB2), :] * exp_e
+        w = gd[5:6, :] * exp_e
+        feats8 = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]  # (8, NB2)
 
-        g_w = jnp.dot(feats_ref[pl.ds(b, NB2), :], g8_ref[:],
+        g_acc = gT_ref[:]                          # (TP, FEAT_PAD)
+        # g_w[p, i] = sum_f g_acc[p, f] * feats8[f, i]
+        g_w = jnp.dot(g_acc, feats8,
                       preferred_element_type=jnp.float32, precision="highest")
-        g_feat = jnp.dot(w, gT_ref[:],
-                         preferred_element_type=jnp.float32, precision="highest")
+        # g_feat[f, i] = sum_p g_acc[p, f] * w[p, i]
+        g_feat = jax.lax.dot_general(
+            g_acc, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision="highest",
+        )                                          # (FEAT_PAD, NB2)
 
         g_e = w * g_w
-        g_op = jnp.sum(exp_e * g_w, axis=1, keepdims=True)
-        g_px = jnp.sum(g_e * (ca * dx + cb * dy), axis=1, keepdims=True)
-        g_py = jnp.sum(g_e * (cb * dx + cc * dy), axis=1, keepdims=True)
-        g_ca = jnp.sum(g_e * (-0.5) * dx * dx, axis=1, keepdims=True)
-        g_cb = jnp.sum(g_e * (-1.0) * dx * dy, axis=1, keepdims=True)
-        g_cc = jnp.sum(g_e * (-0.5) * dy * dy, axis=1, keepdims=True)
+        g_op = jnp.sum(exp_e * g_w, axis=0, keepdims=True)   # (1, NB2)
+        g_px = jnp.sum(g_e * (ca * dx + cb * dy), axis=0, keepdims=True)
+        g_py = jnp.sum(g_e * (cb * dx + cc * dy), axis=0, keepdims=True)
+        g_ca = jnp.sum(g_e * (-0.5) * dx * dx, axis=0, keepdims=True)
+        g_cb = jnp.sum(g_e * (-1.0) * dx * dy, axis=0, keepdims=True)
+        g_cc = jnp.sum(g_e * (-0.5) * dy * dy, axis=0, keepdims=True)
 
         contrib = jnp.concatenate(
             [g_px, g_py, g_ca, g_cb, g_cc, g_op, g_feat,
-             jnp.zeros((NB2, GRAD_COLS - 6 - FEAT_PAD), jnp.float32)],
-            axis=1,
-        )
-        out_ref[pl.ds(b, NB2), :] += contrib
+             jnp.zeros((GD_ROWS - 6 - FEAT_PAD, NB2), jnp.float32)],
+            axis=0,
+        )                                          # (GD_ROWS, NB2)
+        out_ref[:, pl.ds(b, NB2)] += contrib
         return carry
 
     jax.lax.fori_loop(0, cnt, body, 0)
 
 
-def _bwd_call_v2(lo, cnt, px, py, ca, cb, cc, op, feats, g8, gT,
-                 hw_pad: int, width: int, tp: int) -> Array:
-    n_pad = px.shape[0]
-    grid = (hw_pad // tp,)
-    full = lambda i: (0, 0)
+def _bwd_call_v2(lo, cnt, gdata, gT, hw_pad: int, width: int) -> Array:
+    n_pad = gdata.shape[1]
+    grid = (hw_pad // TP2,)
 
     return pl.pallas_call(
-        functools.partial(_bwd_kernel_v2, width=width, tp=tp),
+        functools.partial(_bwd_kernel_v2, width=width, tp=TP2),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # lo
             pl.BlockSpec(memory_space=pltpu.SMEM),   # cnt
-            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, 1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, FEAT_PAD), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((FEAT_PAD, tp), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),   # g8 (per band)
-            pl.BlockSpec((tp, FEAT_PAD), lambda i: (i, 0),
+            pl.BlockSpec((GD_ROWS, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # gdata (resident)
+            pl.BlockSpec((TP2, FEAT_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),   # gT (per band)
         ],
-        out_specs=pl.BlockSpec((n_pad, GRAD_COLS), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, GRAD_COLS), jnp.float32),
+        out_specs=pl.BlockSpec((GD_ROWS, n_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),  # resident grads
+        out_shape=jax.ShapeDtypeStruct((GD_ROWS, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(lo, cnt, px, py, ca, cb, cc, op, feats, g8, gT)
+    )(lo, cnt, gdata, gT)
 
 
 # ---------------------------------------------------------------- backward
@@ -477,15 +488,18 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width):
     hw_pad = _round_up(hw, tp)
 
     n_pad2 = _round_up(n, NB2)
-    if _v2_fits(n_pad2, tp, backward=False):
+    if _v2_fits(n_pad2, backward=False):
+        hw_pad2 = _round_up(hw, TP2)
         px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
             px, py, ca, cb, cc, op, feats, n_pad2)
         sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
         mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
-                                hw_pad // tp, tp, NB2, width)
+                                hw_pad2 // TP2, TP2, NB2, width)
         lo, cnt = _block_ranges(mask)
-        acc8 = _fwd_call_v2(lo, cnt, px_p, py_p, ca_p, cb_p, cc_p, op_p,
-                            feats_p.T, hw_pad, width, tp)
+        gdata = _pack_gdata(px_p[:, 0], py_p[:, 0], ca_p[:, 0], cb_p[:, 0],
+                            cc_p[:, 0], op_p[:, 0], feats_p)
+        accT = _fwd_call_v2(lo, cnt, gdata, hw_pad2, width)  # (hw_pad2, 8)
+        acc = accT[:hw, :FEAT_DIM]
     else:
         n_pad = _round_up(n, nb)
         px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
@@ -495,7 +509,7 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width):
                                 hw_pad // tp, tp, nb, width)
         acc8 = _fwd_call(mask, px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p.T,
                          hw_pad, width, nb, tp)       # (FEAT_PAD, hw_pad)
-    acc = acc8[:FEAT_DIM, :hw].T                      # (hw, FEAT_DIM)
+        acc = acc8[:FEAT_DIM, :hw].T                  # (hw, FEAT_DIM)
     residuals = (px, py, ca, cb, cc, op, feats)
     return acc, residuals
 
@@ -507,20 +521,23 @@ def _splat_bwd(height, width, residuals, g):
     nb, tp = _tile_sizes(n, hw)
     hw_pad = _round_up(hw, tp)
 
-    gT = jnp.pad(g, ((0, hw_pad - hw), (0, FEAT_PAD - FEAT_DIM)))  # (hw_pad, 8)
-    g8 = gT.T                                                       # (8, hw_pad)
-
     n_pad2 = _round_up(n, NB2)
-    if _v2_fits(n_pad2, tp, backward=True):
+    if _v2_fits(n_pad2, backward=True):
+        hw_pad2 = _round_up(hw, TP2)
         px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
             px, py, ca, cb, cc, op, feats, n_pad2)
         sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
         mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
-                                hw_pad // tp, tp, NB2, width)
+                                hw_pad2 // TP2, TP2, NB2, width)
         lo, cnt = _block_ranges(mask)
-        out = _bwd_call_v2(lo, cnt, px_p, py_p, ca_p, cb_p, cc_p, op_p,
-                           feats_p, g8, gT, hw_pad, width, tp)
+        gdata = _pack_gdata(px_p[:, 0], py_p[:, 0], ca_p[:, 0], cb_p[:, 0],
+                            cc_p[:, 0], op_p[:, 0], feats_p)
+        gT2 = jnp.pad(g, ((0, hw_pad2 - hw), (0, FEAT_PAD - FEAT_DIM)))
+        outT = _bwd_call_v2(lo, cnt, gdata, gT2, hw_pad2, width)
+        out = outT.T                                  # (n_pad2, GD_ROWS)
     else:
+        gT = jnp.pad(g, ((0, hw_pad - hw), (0, FEAT_PAD - FEAT_DIM)))
+        g8 = gT.T                                     # (8, hw_pad)
         n_pad = _round_up(n, nb)
         px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
             px, py, ca, cb, cc, op, feats, n_pad)
