@@ -92,3 +92,31 @@ def test_vmapped_render_pallas():
     assert imgs_p.shape == (3, H, W, 3)
     np.testing.assert_allclose(np.asarray(imgs_p), np.asarray(imgs_j),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_v2_range_kernels_match_dense(monkeypatch):
+    """Force the v2 (range-loop) kernels on a small scene and check both
+    forward and gradient parity against the dense jnp oracle."""
+    from tpu_gaussians.ops.pallas import splat as S
+
+    monkeypatch.setattr(S, "V1_MAX_GRID_STEPS", 0)  # always pick v2
+
+    g = _tight_scene(n=700, seed=9)
+    c = orbit_camera(W, H)
+    s = prepare_splats(g, c.view, c.proj, W, H)
+    acc_ref = np.asarray(accumulate_jnp(s, H, W, chunk=128))
+    acc_pal = np.asarray(splat_accumulate(s, H, W))
+    np.testing.assert_allclose(acc_pal, acc_ref, rtol=1e-4, atol=1e-5)
+
+    target = jnp.full((H, W, 3), 0.3, jnp.float32)
+
+    def loss(means, impl):
+        gg = g.replace(means=means)
+        cfg = RenderConfig(width=W, height=H, impl=impl, chunk_size=128)
+        img = render(gg, c, cfg)
+        return jnp.mean(jnp.abs(img - target))
+
+    gj = jax.grad(lambda m: loss(m, "jnp"))(g.means)
+    gp = jax.grad(lambda m: loss(m, "pallas"))(g.means)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gj),
+                               rtol=5e-4, atol=1e-6)

@@ -191,9 +191,10 @@ def _fwd_call(mask, px, py, ca, cb, cc, op, featsT, hw_pad: int, width: int,
 # lane-range read and every backward reduction a sublane sum — zero
 # in-kernel transposes. v1 remains the fallback for very large N.
 
-NB2 = 256             # gaussian block inside the v2 range loop
-TP2 = 1024            # pixels per band tile in v2
-V2_VMEM_BUDGET = 96 * 1024 * 1024
+NB2 = 512             # gaussian block inside the v2 range loop
+TP2 = 2048            # pixels per band tile in v2
+V2_VMEM_BUDGET = 80 * 1024 * 1024
+V1_MAX_GRID_STEPS = 1024  # below this, v1's grid overhead is negligible
 
 GD_ROWS = 16          # packed rows: 6 params + FEAT_PAD feats + pad
 GD_FEAT0 = 6          # feats start row
@@ -213,6 +214,16 @@ def _v2_fits(n_pad: int, backward: bool) -> bool:
     per_gaussian = (GD_ROWS + (GD_ROWS if backward else 0)) * 4
     fixed = 8 * NB2 * TP2 * 4  # weight tiles + elementwise temporaries
     return n_pad * per_gaussian + fixed <= V2_VMEM_BUDGET
+
+
+def _choose_v2(n: int, hw: int, nb: int, tp: int, backward: bool) -> bool:
+    """v1 wins while its (bands x blocks) grid is small — each grid step
+    costs ~2us of fixed overhead; v2 wins once skipped steps dominate."""
+    n_pad2 = _round_up(n, NB2)
+    if not _v2_fits(n_pad2, backward):
+        return False
+    v1_steps = (_round_up(hw, tp) // tp) * (_round_up(n, nb) // nb)
+    return v1_steps > V1_MAX_GRID_STEPS
 
 
 def _pack_gdata(px, py, ca, cb, cc, op, feats):
@@ -249,9 +260,10 @@ def _fwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, acc_ref, *, width: int,
                     + gd[4:5, :] * dy * dy)
         w = gd[5:6, :] * jnp.exp(e)                # (TP, NB2)
         feats8 = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]  # (8, NB2)
-        # acc[p, f] += sum_i w[p, i] * feats8[f, i]
+        # acc[f, p] += sum_i feats8[f, i] * w[p, i]  — (8, TP) keeps the
+        # accumulator lane-dense (a (TP, 8) tile would pad lanes 16x).
         acc_ref[:] += jax.lax.dot_general(
-            w, feats8, dimension_numbers=(((1,), (1,)), ((), ())),
+            feats8, w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision="highest",
         )
         return carry
@@ -272,9 +284,9 @@ def _fwd_call_v2(lo, cnt, gdata, hw_pad: int, width: int) -> Array:
             pl.BlockSpec((GD_ROWS, n_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),   # gdata (resident)
         ],
-        out_specs=pl.BlockSpec((TP2, FEAT_PAD), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((FEAT_PAD, TP2), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hw_pad, FEAT_PAD), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((FEAT_PAD, hw_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -282,7 +294,7 @@ def _fwd_call_v2(lo, cnt, gdata, hw_pad: int, width: int) -> Array:
     )(lo, cnt, gdata)
 
 
-def _bwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, gT_ref, out_ref,
+def _bwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, g8_ref, out_ref,
                    *, width: int, tp: int):
     i = pl.program_id(0)  # band
 
@@ -307,13 +319,15 @@ def _bwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, gT_ref, out_ref,
         w = gd[5:6, :] * exp_e
         feats8 = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]  # (8, NB2)
 
-        g_acc = gT_ref[:]                          # (TP, FEAT_PAD)
-        # g_w[p, i] = sum_f g_acc[p, f] * feats8[f, i]
-        g_w = jnp.dot(g_acc, feats8,
-                      preferred_element_type=jnp.float32, precision="highest")
-        # g_feat[f, i] = sum_p g_acc[p, f] * w[p, i]
-        g_feat = jax.lax.dot_general(
-            g_acc, w, dimension_numbers=(((0,), (0,)), ((), ())),
+        g_acc = g8_ref[:]                          # (FEAT_PAD, TP)
+        # g_w[p, i] = sum_f g_acc[f, p] * feats8[f, i]
+        g_w = jax.lax.dot_general(
+            g_acc, feats8, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision="highest",
+        )                                          # (TP, NB2)
+        # g_feat[f, i] = sum_p g_acc[f, p] * w[p, i]
+        g_feat = jnp.dot(
+            g_acc, w,
             preferred_element_type=jnp.float32, precision="highest",
         )                                          # (FEAT_PAD, NB2)
 
@@ -336,7 +350,7 @@ def _bwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, gT_ref, out_ref,
     jax.lax.fori_loop(0, cnt, body, 0)
 
 
-def _bwd_call_v2(lo, cnt, gdata, gT, hw_pad: int, width: int) -> Array:
+def _bwd_call_v2(lo, cnt, gdata, g8, hw_pad: int, width: int) -> Array:
     n_pad = gdata.shape[1]
     grid = (hw_pad // TP2,)
 
@@ -348,8 +362,8 @@ def _bwd_call_v2(lo, cnt, gdata, gT, hw_pad: int, width: int) -> Array:
             pl.BlockSpec(memory_space=pltpu.SMEM),   # cnt
             pl.BlockSpec((GD_ROWS, n_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),   # gdata (resident)
-            pl.BlockSpec((TP2, FEAT_PAD), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),   # gT (per band)
+            pl.BlockSpec((FEAT_PAD, TP2), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # g8 (per band)
         ],
         out_specs=pl.BlockSpec((GD_ROWS, n_pad), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),  # resident grads
@@ -358,7 +372,7 @@ def _bwd_call_v2(lo, cnt, gdata, gT, hw_pad: int, width: int) -> Array:
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(lo, cnt, gdata, gT)
+    )(lo, cnt, gdata, g8)
 
 
 # ---------------------------------------------------------------- backward
@@ -487,8 +501,8 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width):
     nb, tp = _tile_sizes(n, hw)
     hw_pad = _round_up(hw, tp)
 
-    n_pad2 = _round_up(n, NB2)
-    if _v2_fits(n_pad2, backward=False):
+    if _choose_v2(n, hw, nb, tp, backward=False):
+        n_pad2 = _round_up(n, NB2)
         hw_pad2 = _round_up(hw, TP2)
         px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
             px, py, ca, cb, cc, op, feats, n_pad2)
@@ -498,8 +512,8 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width):
         lo, cnt = _block_ranges(mask)
         gdata = _pack_gdata(px_p[:, 0], py_p[:, 0], ca_p[:, 0], cb_p[:, 0],
                             cc_p[:, 0], op_p[:, 0], feats_p)
-        accT = _fwd_call_v2(lo, cnt, gdata, hw_pad2, width)  # (hw_pad2, 8)
-        acc = accT[:hw, :FEAT_DIM]
+        acc8 = _fwd_call_v2(lo, cnt, gdata, hw_pad2, width)  # (8, hw_pad2)
+        acc = acc8[:FEAT_DIM, :hw].T
     else:
         n_pad = _round_up(n, nb)
         px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
@@ -521,8 +535,8 @@ def _splat_bwd(height, width, residuals, g):
     nb, tp = _tile_sizes(n, hw)
     hw_pad = _round_up(hw, tp)
 
-    n_pad2 = _round_up(n, NB2)
-    if _v2_fits(n_pad2, backward=True):
+    if _choose_v2(n, hw, nb, tp, backward=True):
+        n_pad2 = _round_up(n, NB2)
         hw_pad2 = _round_up(hw, TP2)
         px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
             px, py, ca, cb, cc, op, feats, n_pad2)
@@ -532,8 +546,8 @@ def _splat_bwd(height, width, residuals, g):
         lo, cnt = _block_ranges(mask)
         gdata = _pack_gdata(px_p[:, 0], py_p[:, 0], ca_p[:, 0], cb_p[:, 0],
                             cc_p[:, 0], op_p[:, 0], feats_p)
-        gT2 = jnp.pad(g, ((0, hw_pad2 - hw), (0, FEAT_PAD - FEAT_DIM)))
-        outT = _bwd_call_v2(lo, cnt, gdata, gT2, hw_pad2, width)
+        g8_2 = jnp.pad(g, ((0, hw_pad2 - hw), (0, FEAT_PAD - FEAT_DIM))).T
+        outT = _bwd_call_v2(lo, cnt, gdata, g8_2, hw_pad2, width)
         out = outT.T                                  # (n_pad2, GD_ROWS)
     else:
         gT = jnp.pad(g, ((0, hw_pad - hw), (0, FEAT_PAD - FEAT_DIM)))
