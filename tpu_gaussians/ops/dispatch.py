@@ -59,10 +59,21 @@ def render_accum(
 def render_sorted(
     g: Gaussians, view: Array, proj: Array, config: RenderConfig
 ) -> Tuple[Array, Array]:
-    """Depth-sorted front-to-back mode -> (image, alpha)."""
+    """Depth-sorted front-to-back mode -> (image, alpha).
+
+    The pallas path is forward-only (the reference's depth-sorted path is
+    also forward-only, renderer_cpu.cpp:125-217); use impl="jnp" when
+    differentiating through sorted compositing.
+    """
     s = prepare_splats(g, view, proj, config.width, config.height,
                        footprint=config.footprint)
     z = camera_z(g.means, view)
+    if _resolve_impl(config.impl) == "pallas":
+        from tpu_gaussians.ops.pallas import sorted as pallas_sorted
+
+        return pallas_sorted.sorted_composite_pallas(
+            s, z, config.background_array(), config.height, config.width
+        )
     return jnp_renderer.composite_sorted(
         s, z, config.background_array(), config.height, config.width,
         chunk=min(config.chunk_size, 64),
