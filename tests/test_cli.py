@@ -1,0 +1,63 @@
+"""CLI end-to-end: make_cameras, render, view (save mode) on tiny inputs."""
+
+import numpy as np
+import pytest
+
+from tpu_gaussians.io.npz import save_gaussians_npz
+
+from .utils import random_scene
+
+
+@pytest.fixture()
+def fitted_npz(tmp_path):
+    path = tmp_path / "model.npz"
+    save_gaussians_npz(path, random_scene(20, seed=1))
+    return path
+
+
+def test_make_cameras_cli(tmp_path):
+    from tpu_gaussians.cli import make_cameras
+    from tpu_gaussians.core.camera import load_cameras_npz
+
+    out = tmp_path / "cams.npz"
+    make_cameras.main([str(out), "--num_views", "5", "--width", "64",
+                       "--height", "64"])
+    cams = load_cameras_npz(out, expected_views=5)
+    assert cams.view.shape == (5, 4, 4)
+
+
+@pytest.mark.parametrize("mode", ["accum", "sorted"])
+def test_render_cli(fitted_npz, tmp_path, mode):
+    from tpu_gaussians.cli import render as render_cli
+
+    out_dir = tmp_path / "renders"
+    render_cli.main([str(fitted_npz), "--out_dir", str(out_dir),
+                     "--width", "48", "--height", "32", "--num_views", "2",
+                     "--mode", mode, "--impl", "jnp"])
+    files = sorted(out_dir.glob("view_*.png"))
+    assert len(files) == 2
+    from PIL import Image
+    img = np.asarray(Image.open(files[0]))
+    assert img.shape == (32, 48, 3)
+
+
+def test_render_cli_with_camera_npz(fitted_npz, tmp_path):
+    from tpu_gaussians.cli import make_cameras, render as render_cli
+
+    cams = tmp_path / "cams.npz"
+    make_cameras.main([str(cams), "--num_views", "3", "--width", "48",
+                       "--height", "32"])
+    out_dir = tmp_path / "renders"
+    render_cli.main([str(fitted_npz), "--out_dir", str(out_dir),
+                     "--width", "48", "--height", "32",
+                     "--camera_npz", str(cams), "--impl", "jnp"])
+    assert len(list(out_dir.glob("view_*.png"))) == 3
+
+
+def test_view_cli_save(fitted_npz, tmp_path):
+    matplotlib = pytest.importorskip("matplotlib")
+    from tpu_gaussians.cli import view as view_cli
+
+    out = tmp_path / "scatter.png"
+    view_cli.main([str(fitted_npz), "--save", str(out), "--max_points", "10"])
+    assert out.exists() and out.stat().st_size > 0
