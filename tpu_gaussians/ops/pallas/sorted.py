@@ -42,7 +42,9 @@ from tpu_gaussians.ops.pallas.splat import (
     GD_ROWS,
     _band_block_mask,
     _interpret,
+    _mask_bit,
     _pack_gdata,
+    _pack_mask_bits,
     _round_up,
     _sigma_y_from_conic,
 )
@@ -107,14 +109,17 @@ def _sorted_kernel(mask_ref, gdata_ref, acc_ref, *, width: int, tp: int,
             new_trans = trans * (1.0 - block_alpha)
             return new_rgbw, new_trans
 
-        return jax.lax.cond(mask_ref[i, k] != 0, active,
+        return jax.lax.cond(_mask_bit(mask_ref, i, k) != 0, active,
                             lambda _: (rgbw, trans), None)
 
     rgbw0 = jnp.zeros((tp, FEAT_PAD), jnp.float32)
     trans0 = jnp.ones((tp, 1), jnp.float32)
     rgbw, trans = jax.lax.fori_loop(0, n_blocks, body, (rgbw0, trans0))
 
-    acc_ref[:] = rgbw.at[:, 3].set(1.0 - trans[:, 0])
+    # Column 3 carries the final alpha (scatter is unsupported in Mosaic;
+    # use a lane-select instead).
+    cols = jax.lax.broadcasted_iota(jnp.int32, rgbw.shape, 1)
+    acc_ref[:] = jnp.where(cols == 3, 1.0 - trans, rgbw)
 
 
 def sorted_composite_pallas(
@@ -140,8 +145,9 @@ def sorted_composite_pallas(
                         feats_p)
     sy_eff = _sigma_y_from_conic(pad1(s.conic_a), pad0(s.conic_b),
                                  pad1(s.conic_c))
-    mask = _band_block_mask(pad0(s.py), sy_eff, pad0(s.op_eff),
-                            n_bands, TPS, NBS, width)
+    mask = _pack_mask_bits(_band_block_mask(pad0(s.py), sy_eff,
+                                            pad0(s.op_eff),
+                                            n_bands, TPS, NBS, width))
 
     acc = pl.pallas_call(
         functools.partial(_sorted_kernel, width=width, tp=TPS,
@@ -157,6 +163,7 @@ def sorted_composite_pallas(
         out_shape=jax.ShapeDtypeStruct((hw_pad, FEAT_PAD), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(mask, gdata)

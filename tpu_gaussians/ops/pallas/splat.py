@@ -93,6 +93,26 @@ def _band_block_mask(py, sigma_y, op_eff, n_bands: int, tp: int,
     return active.astype(jnp.int32)
 
 
+def _pack_mask_bits(mask: Array) -> Array:
+    """Bit-pack an int32 0/1 mask (bands, blocks) into (bands, ceil(b/32))
+    int32 words — SMEM is ~1MB, so large block counts must pack 32x."""
+    n_bands, n_blocks = mask.shape
+    nw = _round_up(n_blocks, 32) // 32
+    padded = jnp.pad(mask, ((0, 0), (0, nw * 32 - n_blocks)))
+    words = padded.reshape(n_bands, nw, 32)
+    weights = (1 << jnp.arange(32, dtype=jnp.uint32)).astype(jnp.uint32)
+    packed = jnp.sum(words.astype(jnp.uint32) * weights[None, None, :],
+                     axis=2, dtype=jnp.uint32)
+    return packed.astype(jnp.int32)
+
+
+def _mask_bit(mask_ref, i, k):
+    """Extract bit k of packed mask row i (arithmetic shift is fine: we
+    only inspect the low bit)."""
+    word = mask_ref[i, k >> 5]
+    return (word >> (k & 31)) & 1
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -120,7 +140,7 @@ def _fwd_kernel(mask_ref, px_ref, py_ref, ca_ref, cb_ref, cc_ref, op_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(mask_ref[i, j] != 0)
+    @pl.when(_mask_bit(mask_ref, i, j) != 0)
     def _():
         base = i * tp
         idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tp), dimension=1)
@@ -165,6 +185,7 @@ def _fwd_call(mask, px, py, ca, cb, cc, op, featsT, hw_pad: int, width: int,
         out_shape=jax.ShapeDtypeStruct((FEAT_PAD, hw_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * hw_pad * (FEAT_PAD + 6),
@@ -289,6 +310,7 @@ def _fwd_call_v2(lo, cnt, gdata, hw_pad: int, width: int) -> Array:
         out_shape=jax.ShapeDtypeStruct((FEAT_PAD, hw_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(lo, cnt, gdata)
@@ -370,6 +392,7 @@ def _bwd_call_v2(lo, cnt, gdata, g8, hw_pad: int, width: int) -> Array:
         out_shape=jax.ShapeDtypeStruct((GD_ROWS, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(lo, cnt, gdata, g8)
@@ -387,7 +410,7 @@ def _bwd_kernel(mask_ref, px_ref, py_ref, ca_ref, cb_ref, cc_ref, op_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(mask_ref[j, i] != 0)
+    @pl.when(_mask_bit(mask_ref, j, i) != 0)
     def _():
         base = j * tp
         idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tp), dimension=1)
@@ -458,6 +481,7 @@ def _bwd_call(mask, px, py, ca, cb, cc, op, feats, g8, gT, hw_pad: int,
         out_shape=jax.ShapeDtypeStruct((n_pad, GRAD_COLS), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * hw_pad * (2 * FEAT_PAD + 14),
@@ -521,7 +545,8 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width):
         sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
         mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
                                 hw_pad // tp, tp, nb, width)
-        acc8 = _fwd_call(mask, px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p.T,
+        acc8 = _fwd_call(_pack_mask_bits(mask), px_p, py_p, ca_p, cb_p,
+                         cc_p, op_p, feats_p.T,
                          hw_pad, width, nb, tp)       # (FEAT_PAD, hw_pad)
         acc = acc8[:FEAT_DIM, :hw].T                  # (hw, FEAT_DIM)
     residuals = (px, py, ca, cb, cc, op, feats)
@@ -558,7 +583,8 @@ def _splat_bwd(height, width, residuals, g):
         sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
         mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
                                 hw_pad // tp, tp, nb, width)
-        out = _bwd_call(mask, px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p,
+        out = _bwd_call(_pack_mask_bits(mask), px_p, py_p, ca_p, cb_p,
+                        cc_p, op_p, feats_p,
                         g8, gT, hw_pad, width, nb, tp)  # (n_pad, GRAD_COLS)
     out = out[:n]
     g_px = out[:, 0]
