@@ -120,3 +120,16 @@ def test_v2_range_kernels_match_dense(monkeypatch):
     gp = jax.grad(lambda m: loss(m, "pallas"))(g.means)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gj),
                                rtol=5e-4, atol=1e-6)
+
+
+def test_mask_bit_packing_roundtrip():
+    from tpu_gaussians.ops.pallas.splat import _pack_mask_bits
+
+    rng = np.random.default_rng(0)
+    mask = (rng.uniform(size=(7, 70)) < 0.3).astype(np.int32)
+    packed = np.asarray(_pack_mask_bits(jnp.asarray(mask)))
+    assert packed.shape == (7, 3)  # ceil(70/32) words
+    for i in range(7):
+        for k in range(70):
+            bit = (packed[i, k >> 5] >> (k & 31)) & 1
+            assert bit == mask[i, k], (i, k)

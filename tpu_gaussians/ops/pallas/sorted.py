@@ -72,18 +72,20 @@ def _exclusive_cumprod_lanes(x: Array) -> Array:
     return y
 
 
-def _sorted_kernel(mask_ref, gdata_ref, acc_ref, *, width: int, tp: int,
-                   n_blocks: int):
+def _sorted_kernel(mask_ref, gdata_ref, acc_ref, rgbw_ref, trans_ref,
+                   *, width: int, tp: int, n_blocks: int):
     i = pl.program_id(0)
     base = i * tp
     idx = base + jax.lax.broadcasted_iota(jnp.int32, (tp, 1), dimension=0)
     gx = (idx % width).astype(jnp.float32) + 0.5   # (TP, 1)
     gy = (idx // width).astype(jnp.float32) + 0.5
 
-    def body(k, carry):
-        rgbw, trans = carry                         # (TP, 8), (TP, 1)
+    rgbw_ref[:] = jnp.zeros_like(rgbw_ref)
+    trans_ref[:] = jnp.ones_like(trans_ref)
 
-        def active(_):
+    def body(k, carry):
+        @pl.when(_mask_bit(mask_ref, i, k) != 0)
+        def _():
             b = pl.multiple_of(k * NBS, NBS)
             gd = gdata_ref[:, pl.ds(b, NBS)]        # (GD_ROWS, NBS)
             dx = gx - gd[0:1, :]                    # (TP, NBS)
@@ -105,21 +107,18 @@ def _sorted_kernel(mask_ref, gdata_ref, acc_ref, *, width: int, tp: int,
             )                                        # (TP, 8)
             block_alpha = jnp.sum(contrib, axis=1, keepdims=True)  # (TP, 1)
 
-            new_rgbw = rgbw + trans * block_rgbw
-            new_trans = trans * (1.0 - block_alpha)
-            return new_rgbw, new_trans
+            trans = trans_ref[:]
+            rgbw_ref[:] += trans * block_rgbw
+            trans_ref[:] = trans * (1.0 - block_alpha)
 
-        return jax.lax.cond(_mask_bit(mask_ref, i, k) != 0, active,
-                            lambda _: (rgbw, trans), None)
+        return carry
 
-    rgbw0 = jnp.zeros((tp, FEAT_PAD), jnp.float32)
-    trans0 = jnp.ones((tp, 1), jnp.float32)
-    rgbw, trans = jax.lax.fori_loop(0, n_blocks, body, (rgbw0, trans0))
+    jax.lax.fori_loop(0, n_blocks, body, 0)
 
     # Column 3 carries the final alpha (scatter is unsupported in Mosaic;
     # use a lane-select instead).
-    cols = jax.lax.broadcasted_iota(jnp.int32, rgbw.shape, 1)
-    acc_ref[:] = jnp.where(cols == 3, 1.0 - trans, rgbw)
+    cols = jax.lax.broadcasted_iota(jnp.int32, rgbw_ref.shape, 1)
+    acc_ref[:] = jnp.where(cols == 3, 1.0 - trans_ref[:], rgbw_ref[:])
 
 
 def sorted_composite_pallas(
@@ -161,6 +160,10 @@ def sorted_composite_pallas(
         out_specs=pl.BlockSpec((TPS, FEAT_PAD), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hw_pad, FEAT_PAD), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TPS, FEAT_PAD), jnp.float32),  # rgbw accumulator
+            pltpu.VMEM((TPS, 1), jnp.float32),         # transmittance
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
