@@ -142,6 +142,8 @@ class RenderConfig:
     footprint: str = "axis"   # "axis" (reference parity) | "ewa" (quat+cov)
     chunk_size: int = 256  # Gaussian block size for the jnp/scan path
     return_aux: bool = False  # also return (alpha, depth)
+    sorted_band_capacity: int = 0  # pallas sorted: per-band list capacity
+                                   # (0 = auto; overflow drops farthest)
 
     def __post_init__(self):
         if self.mode not in ("accum", "sorted"):

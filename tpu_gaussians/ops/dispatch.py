@@ -72,7 +72,8 @@ def render_sorted(
         from tpu_gaussians.ops.pallas import sorted as pallas_sorted
 
         return pallas_sorted.sorted_composite_pallas(
-            s, z, config.background_array(), config.height, config.width
+            s, z, config.background_array(), config.height, config.width,
+            band_capacity=config.sorted_band_capacity,
         )
     return jnp_renderer.composite_sorted(
         s, z, config.background_array(), config.height, config.width,
