@@ -74,3 +74,24 @@ def test_multi_step_convergence_sharded():
         state, m = sharded(state, cams, targets, zeros, zeros)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_shardmap_step_matches_single_device():
+    """Explicit shard_map + psum variant == single-device step."""
+    from tpu_gaussians.parallel.sharded import make_shardmap_train_step
+
+    raw, cams, targets, zeros, rc, lc, tx = _setup()
+
+    single = make_train_step(tx, rc, lc, False, False, donate=False)
+    s1, m1 = single(init_state(raw, tx), cams, targets, zeros, zeros)
+
+    mesh = make_mesh(8, 1)
+    sharded = make_shardmap_train_step(tx, rc, lc, False, False, mesh)
+    s2, m2 = sharded(init_state(raw, tx), cams, targets, zeros, zeros)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.raw), jax.tree.leaves(s2.raw)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)

@@ -68,3 +68,86 @@ def make_sharded_train_step(
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def make_shardmap_train_step(
+    tx: optax.GradientTransformation,
+    render_config: RenderConfig,
+    loss_config: LossConfig,
+    has_masks: bool,
+    has_depths: bool,
+    mesh: Mesh,
+):
+    """Explicit-collective variant: shard_map over the views axis with a
+    hand-placed psum gradient all-reduce.
+
+    Mathematically identical to make_sharded_train_step (GSPMD derives the
+    same collective); this version makes the communication explicit —
+    per-shard local loss/grads, `jax.lax.pmean` over "views" — which is
+    the shape the overlap optimizations (chunked psum interleaved with the
+    backward sweep) attach to. Requires the regularizer-consistent local
+    loss: per-view terms divide by the GLOBAL view count via pmean, and
+    the replicated regularizer is identical on every shard, so pmean of
+    local grads equals the global gradient.
+    """
+    import jax.numpy as jnp
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_gaussians.fit.loss import loss_fn
+    from tpu_gaussians.parallel.mesh import VIEW_AXIS
+
+    def local_grads(raw, cameras, targets, masks, depths):
+        def f(trainable):
+            r = raw.with_trainable(trainable)
+            return loss_fn(
+                r, cameras, targets,
+                masks if has_masks else None,
+                depths if has_depths else None,
+                render_config, loss_config,
+            )
+        (loss, metrics), grads = jax.value_and_grad(f, has_aux=True)(
+            raw.trainable()
+        )
+        return loss, metrics, grads
+
+    def step(state, cameras, targets, masks, depths):
+        def shard_body(view, proj, targets, masks, depths):
+            cams = Camera(view=view, proj=proj)
+            loss, metrics, grads = local_grads(
+                state.raw, cams, targets, masks, depths)
+            # Mean over view shards == global mean over views (each shard
+            # computes the mean over its local views; shards are equal-sized).
+            grads = jax.lax.pmean(grads, VIEW_AXIS)
+            loss = jax.lax.pmean(loss, VIEW_AXIS)
+            metrics = jax.lax.pmean(metrics, VIEW_AXIS)
+            return loss, metrics, grads
+
+        vspec = P(VIEW_AXIS)
+        loss, metrics, grads = shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(vspec, vspec, vspec, vspec, vspec),
+            out_specs=(P(), P(), P()),
+            check_vma=False,  # scan carries inside the renderer are
+                              # device-local; skip varying-axes typing
+        )(cameras.view, cameras.proj, targets, masks, depths)
+
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.raw.trainable())
+        new_raw = state.raw.with_trainable(
+            optax.apply_updates(state.raw.trainable(), updates)
+        )
+        gnorm = jnp.linalg.norm(grads["means"], axis=1)
+        new_state = TrainState(
+            raw=new_raw,
+            opt_state=opt_state,
+            grad_norm_accum=state.grad_norm_accum + gnorm,
+            grad_steps=state.grad_steps + 1,
+        )
+        metrics["grad_norm_mean"] = jnp.mean(gnorm)
+        return new_state, metrics
+
+    return jax.jit(step)
