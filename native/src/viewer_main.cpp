@@ -22,6 +22,10 @@
 #include "gs/npz.h"
 #include "gs/rasterizer.h"
 
+#ifdef GS_HAVE_RAYLIB
+#include <raylib.h>
+#endif
+
 namespace {
 
 void perspective(float fovy_deg, float aspect, float znear, float zfar,
@@ -143,10 +147,66 @@ int main(int argc, char** argv) {
   const float up[3] = {0, 1, 0};
 
   std::vector<unsigned char> rgba(static_cast<size_t>(width) * height * 4);
+
 #ifdef GS_HAVE_RAYLIB
-  // Interactive path (mouse orbit / wheel zoom / R reset) would go here;
-  // this build has no raylib, so only offline mode is compiled.
+  // Interactive viewer: mouse-drag orbit (0.01 rad/px, pitch clamped
+  // +-1.4), wheel zoom (0.9^wheel, radius [0.2, 50]), R reset, H toggles
+  // the HUD — the control scheme of the reference viewer
+  // (model_viewer_main.cpp:209-261), driving this rasterizer.
+  {
+    InitWindow(width, height, "gs_viewer");
+    Image img = GenImageColor(width, height, BLACK);
+    ImageFormat(&img, PIXELFORMAT_UNCOMPRESSED_R8G8B8A8);
+    Texture2D tex = LoadTextureFromImage(img);
+
+    float yaw = 0.0f, pitch = 0.2f, radius = 2.5f;
+    bool show_hud = true;
+    double fps_ema = 0.0;
+    while (!WindowShouldClose()) {
+      if (IsMouseButtonDown(MOUSE_BUTTON_LEFT)) {
+        Vector2 d = GetMouseDelta();
+        yaw -= d.x * 0.01f;
+        pitch += d.y * 0.01f;
+        pitch = std::max(-1.4f, std::min(1.4f, pitch));
+      }
+      radius *= std::pow(0.9f, GetMouseWheelMove());
+      radius = std::max(0.2f, std::min(50.0f, radius));
+      if (IsKeyPressed(KEY_R)) { yaw = 0; pitch = 0.2f; radius = 2.5f; }
+      if (IsKeyPressed(KEY_H)) show_hud = !show_hud;
+
+      const float eye[3] = {radius * std::cos(pitch) * std::sin(yaw),
+                            radius * std::sin(pitch),
+                            radius * std::cos(pitch) * std::cos(yaw)};
+      look_at(eye, target, up, view);
+
+      const auto t0 = std::chrono::steady_clock::now();
+      gs_render_rgba8(means.data.data(), scales.data.data(),
+                      colors.data.data(), opac.data.data(),
+                      static_cast<int>(n), width, height, view, proj,
+                      background, mode, rgba.data());
+      const auto t1 = std::chrono::steady_clock::now();
+      const double frame_s = std::chrono::duration<double>(t1 - t0).count();
+      fps_ema = fps_ema == 0.0 ? 1.0 / frame_s
+                               : 0.8 * fps_ema + 0.2 / frame_s;
+
+      UpdateTexture(tex, rgba.data());
+      BeginDrawing();
+      DrawTexture(tex, 0, 0, WHITE);
+      if (show_hud) {
+        char hud[128];
+        std::snprintf(hud, sizeof(hud), "gs_native cpu | N=%ld | %.1f FPS",
+                      n, fps_ema);
+        DrawText(hud, 8, 8, 18, RAYWHITE);
+      }
+      EndDrawing();
+    }
+    UnloadTexture(tex);
+    UnloadImage(img);
+    CloseWindow();
+    return 0;
+  }
 #endif
+
   std::string mkdir_cmd = "mkdir -p " + out_dir;
   if (std::system(mkdir_cmd.c_str()) != 0) {
     std::fprintf(stderr, "cannot create %s\n", out_dir.c_str());
