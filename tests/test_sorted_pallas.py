@@ -88,3 +88,29 @@ def test_band_capacity_overflow_drops_farthest():
     img = np.asarray(render(g, c, cfg_small))
     cy, cx = H // 2, W // 2
     assert img[cy, cx, 0] > 0.3  # near red gaussian present
+
+
+def test_sorted_pallas_batched_cameras_and_ewa():
+    """Batched-camera (vmap) rendering and EWA footprints through the
+    binned sorted kernel."""
+    from tpu_gaussians.core import camera as cam
+    from tpu_gaussians.core.types import make_gaussians
+
+    rng = np.random.default_rng(4)
+    n = 60
+    g = make_gaussians(
+        rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32),
+        rng.uniform(0.02, 0.2, (n, 3)).astype(np.float32),
+        rng.uniform(0.2, 0.9, (n,)).astype(np.float32),
+        colors=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        quats=rng.normal(size=(n, 4)).astype(np.float32),
+    )
+    cams = cam.orbit_cameras(2, W, H)
+    cfg_p = RenderConfig(width=W, height=H, impl="pallas", mode="sorted",
+                         footprint="ewa")
+    cfg_j = cfg_p.replace(impl="jnp", chunk_size=16)
+    imgs_p = render(g, cams, cfg_p)
+    imgs_j = render(g, cams, cfg_j)
+    assert imgs_p.shape == (2, H, W, 3)
+    np.testing.assert_allclose(np.asarray(imgs_p), np.asarray(imgs_j),
+                               rtol=1e-4, atol=1e-5)
