@@ -50,22 +50,27 @@ def main():
     tx = make_optimizer(0.02)
     inner = make_train_step(tx, rc, lc, False, False, jit=False)
 
+    # Dynamic trip count -> ONE compiled executable serves every K
+    # (remote compiles are minutes-slow; this halves bench startup).
     def multi(state, cams, targets, masks, depths, k):
-        def body(s, _):
+        def body(i, carry):
+            s, _ = carry
             s2, m = inner(s, cams, targets, masks, depths)
-            return s2, m["loss"]
-        return jax.lax.scan(body, state, None, length=k)
+            return (s2, m["loss"])
+        return jax.lax.fori_loop(0, k, body,
+                                 (state, jnp.float32(0.0)))
+
+    jf = jax.jit(multi)
 
     def timed(k, reps=2):
-        jf = jax.jit(lambda s, c, t, m, d: multi(s, c, t, m, d, k))
         st = init_state(raw, tx)
-        _, losses = jf(st, cams, targets, zeros, zeros)
-        float(losses[-1])  # warm + sync
+        _, loss = jf(st, cams, targets, zeros, zeros, k)
+        float(loss)  # warm + sync
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            _, losses = jf(st, cams, targets, zeros, zeros)
-            float(losses[-1])
+            _, loss = jf(st, cams, targets, zeros, zeros, k)
+            float(loss)
             best = min(best, time.perf_counter() - t0)
         return best
 
