@@ -99,3 +99,27 @@ def test_npz_opacity_column_tolerance(tmp_path):
     )
     g = load_gaussians_npz(path)
     assert g.opacities.shape == (5,)
+
+
+def test_full_loss_stack_with_depth(tmp_path):
+    """Config #4 shape: silhouette + depth supervision both active
+    (fit_multiview_stub.py:295-303 semantics)."""
+    targets, cams = _synthetic_targets()
+    masks = (targets.mean(axis=3) > 0.06).astype(np.float32)
+    rng = np.random.default_rng(3)
+    depths = rng.uniform(0.2, 0.8, size=targets.shape[:3]).astype(np.float32)
+
+    config = FitConfig(
+        iters=30, width=W, height=H, num_gaussians=30, max_gaussians=40,
+        densify_interval=1000, prune_interval=1000, impl="jnp",
+        silhouette_weight=0.2, depth_weight=0.05, log_every=1000, seed=2,
+    )
+    result = fit(config, targets, cams, masks=masks, depths=depths,
+                 out_dir=tmp_path)
+    assert np.mean(result.loss_log[-5:]) < np.mean(result.loss_log[:5])
+    # metrics.jsonl carries all three loss terms
+    import json
+    lines = [json.loads(l) for l in
+             (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert {"recon", "silhouette", "depth"} <= set(lines[0])
+    assert lines[0]["depth"] > 0.0 and lines[0]["silhouette"] > 0.0
