@@ -87,7 +87,7 @@ def _sorted_kernel(cnt_ref, gdense_ref, acc_ref, rgbw_ref, trans_ref,
         rgbw_ref[:] = jnp.zeros_like(rgbw_ref)
         trans_ref[:] = jnp.ones_like(trans_ref)
 
-    @pl.when(j * NBS < cnt_ref[i])
+    @pl.when(j * NBS < cnt_ref[0, i])
     def _():
         base = i * tp
         idx = base + jax.lax.broadcasted_iota(jnp.int32, (tp, 1), dimension=0)
@@ -172,7 +172,8 @@ def _bin_pairs(py, sy_eff, op_eff, n_bands: int, width: int,
 
     cnt_hi = jnp.searchsorted(pair_band, jnp.arange(n_bands), side="right")
     cnt = jnp.minimum(cnt_hi - lo, band_capacity).astype(jnp.int32)
-    return slots, cnt
+    # (1, n_bands): 2D so SMEM blocks stay legal under vmap batching.
+    return slots, cnt[None, :]
 
 
 def sorted_composite_pallas(

@@ -228,7 +228,8 @@ def _block_ranges(mask: Array) -> Tuple[Array, Array]:
     last = mask.shape[1] - 1 - jnp.argmax(mask[:, ::-1], axis=1)
     lo = jnp.where(any_active, first, 0).astype(jnp.int32)
     cnt = jnp.where(any_active, last - first + 1, 0).astype(jnp.int32)
-    return lo, cnt
+    # (1, n_bands): 2D so SMEM blocks stay legal under vmap batching.
+    return lo[None, :], cnt[None, :]
 
 
 def _v2_fits(n_pad: int, backward: bool) -> bool:
@@ -268,8 +269,8 @@ def _fwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, acc_ref, *, width: int,
     gx, gy = _v2_pixel_coords(i, tp, width)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    lo = lo_ref[i]
-    cnt = cnt_ref[i]
+    lo = lo_ref[0, i]
+    cnt = cnt_ref[0, i]
 
     def body(k, carry):
         b = pl.multiple_of((lo + k) * NB2, NB2)
@@ -325,8 +326,8 @@ def _bwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, g8_ref, out_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     gx, gy = _v2_pixel_coords(i, tp, width)
-    lo = lo_ref[i]
-    cnt = cnt_ref[i]
+    lo = lo_ref[0, i]
+    cnt = cnt_ref[0, i]
 
     def body(k, carry):
         b = pl.multiple_of((lo + k) * NB2, NB2)
