@@ -95,3 +95,23 @@ def test_shardmap_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(s1.raw), jax.tree.leaves(s2.raw)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_trainer_num_view_shards(tmp_path):
+    """The trainer's num_view_shards path produces the same fit as the
+    single-device trainer."""
+    from tpu_gaussians.fit.trainer import fit
+    from tpu_gaussians.utils.config import FitConfig
+
+    rng = np.random.default_rng(1)
+    targets = rng.uniform(size=(8, H, W, 3)).astype(np.float32)
+    cams8 = cam.orbit_cameras(8, W, H)
+    base = dict(iters=6, width=W, height=H, num_gaussians=16,
+                max_gaussians=24, densify_interval=1000, prune_interval=1000,
+                impl="jnp", silhouette_weight=0.0, log_every=1000, seed=4)
+    r1 = fit(FitConfig(**base), targets, cams8)
+    r8 = fit(FitConfig(**{**base, "num_view_shards": 8}), targets, cams8)
+    np.testing.assert_allclose(np.asarray(r8.raw.means),
+                               np.asarray(r1.raw.means),
+                               rtol=2e-4, atol=2e-6)

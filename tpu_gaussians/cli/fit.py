@@ -61,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--log_every", type=int, default=d.log_every)
     ap.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--num_view_shards", type=int, default=d.num_view_shards,
+                    help="shard the view batch over N devices (data parallel)")
     return ap
 
 

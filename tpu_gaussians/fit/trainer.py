@@ -124,8 +124,30 @@ def fit(
             start_iter, state, key = checkpointer.restore(state, key)
             print(f"Resumed from checkpoint at iter {start_iter}")
 
-    step_fn = make_train_step(tx, render_config, loss_config,
-                              has_masks, has_depths)
+    n_shards = getattr(config, "num_view_shards", 1)
+    if n_shards > 1:
+        from tpu_gaussians.parallel.mesh import make_mesh, replicated, \
+            view_sharding
+        from tpu_gaussians.parallel.sharded import make_sharded_train_step
+
+        if v % n_shards != 0:
+            raise ValueError(
+                f"num_view_shards={n_shards} must divide view count {v}")
+        mesh = make_mesh(n_shards, 1)
+        step_fn = make_sharded_train_step(
+            tx, render_config, loss_config, has_masks, has_depths, mesh)
+        cameras = Camera(
+            view=jax.device_put(cameras.view, view_sharding(mesh, 3)),
+            proj=jax.device_put(cameras.proj, view_sharding(mesh, 3)),
+        )
+        targets_j = jax.device_put(targets_j, view_sharding(mesh, 4))
+        masks_j = jax.device_put(masks_j, view_sharding(mesh, 3))
+        depths_j = jax.device_put(depths_j, view_sharding(mesh, 3))
+        state = jax.device_put(state, replicated(mesh))
+        print(f"Sharding {v} views over {n_shards} devices")
+    else:
+        step_fn = make_train_step(tx, render_config, loss_config,
+                                  has_masks, has_depths)
 
     # Per-step metrics stay ON DEVICE; host fetches happen only at log
     # points and at the end. (Each device->host fetch costs a full relay
