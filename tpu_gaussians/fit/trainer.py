@@ -28,7 +28,6 @@ from tpu_gaussians.fit.step import (
     init_state,
     make_optimizer,
     make_train_step,
-    reset_optimizer,
 )
 from tpu_gaussians.io import image as im
 from tpu_gaussians.io.npz import save_raw_npz

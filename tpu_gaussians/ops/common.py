@@ -28,7 +28,7 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
-from tpu_gaussians.core.types import Array, Gaussians, RenderConfig
+from tpu_gaussians.core.types import Array, Gaussians
 from tpu_gaussians.ops.ewa import axis_aligned_conic, ewa_conic
 from tpu_gaussians.ops.projection import ScreenSplats, project
 from tpu_gaussians.ops.sh import eval_colors

@@ -15,8 +15,6 @@ float tolerance on a forced 8-device CPU mesh.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import optax
 from jax.sharding import Mesh
