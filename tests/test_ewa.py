@@ -183,3 +183,34 @@ def test_ewa_fit_improves():
     # Quats actually moved away from identity.
     q = np.asarray(result.raw.quats_raw[:16])
     assert np.abs(q - np.array([1, 0, 0, 0])).max() > 1e-3
+
+
+def test_camera_plane_crossing_stays_finite():
+    """Gaussians at/behind the camera plane must not produce NaN conics or
+    poison the accumulators (f32 overflow regression: inf - inf in det)."""
+    view = _front_camera()
+    proj = cam.perspective(60.0, 1.0, 0.01, 100.0)
+    # Camera is at z=2.5 looking at origin: tz = z - 2.5. Place gaussians
+    # exactly at, just before, and behind the camera plane.
+    means = jnp.asarray([[0.0, 0.0, 2.5], [0.0, 0.0, 2.4999999],
+                         [0.0, 0.0, 3.0], [0.0, 0.0, 0.0]])
+    scales = jnp.full((4, 3), 0.3)
+    quats = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (4, 1))
+
+    c = ewa_conic(means, scales, quats, view, proj, W, H)
+    for arr in c:
+        assert bool(jnp.all(jnp.isfinite(arr))), "non-finite conic"
+
+    g = make_gaussians(np.asarray(means), np.asarray(scales),
+                       np.full((4,), 0.9, np.float32),
+                       colors=np.ones((4, 3), np.float32),
+                       quats=np.asarray(quats))
+    camera = cam.Camera(view=view, proj=proj)
+    cfg = RenderConfig(width=W, height=H, impl="jnp", footprint="ewa",
+                       chunk_size=4)
+    img = render(g, camera, cfg)
+    assert bool(jnp.all(jnp.isfinite(img)))
+
+    grads = jax.grad(lambda m: jnp.sum(render(g.replace(means=m), camera,
+                                              cfg)))(g.means)
+    assert bool(jnp.all(jnp.isfinite(grads))), "non-finite gradients"

@@ -117,6 +117,17 @@ def ewa_conic(
     m01 = jnp.einsum("ni,nij,nj->n", r0, cov_cam, r1)
     m11 = jnp.einsum("ni,nij,nj->n", r1, cov_cam, r1) + blur
 
+    # f32 overflow guard: gaussians crossing the camera plane blow the
+    # Jacobian up (1/tz^2) and det = m00*m11 - m01^2 becomes inf - inf =
+    # NaN, which poisons the accumulators even at zero opacity. Clamp the
+    # 2D covariance to a huge-but-finite ceiling and keep it PSD by
+    # bounding the cross term below sqrt(m00*m11).
+    cap = 1e10
+    m00 = jnp.clip(m00, 1e-8, cap)
+    m11 = jnp.clip(m11, 1e-8, cap)
+    m01_bound = 0.999 * jnp.sqrt(m00 * m11)
+    m01 = jnp.clip(m01, -m01_bound, m01_bound)
+
     det = jnp.maximum(m00 * m11 - m01 * m01, 1e-12)
     a = m11 / det
     b = -m01 / det
