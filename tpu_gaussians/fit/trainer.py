@@ -153,6 +153,7 @@ def fit(
     # round trip — fetching the loss every step would dominate wall-clock.)
     device_metrics = []
     t0 = time.perf_counter()
+    last_log_t, last_log_it = t0, start_iter
     for it in range(start_iter, config.iters):
         state, metrics = step_fn(state, cameras, targets_j, masks_j, depths_j)
         device_metrics.append(metrics)
@@ -160,7 +161,13 @@ def fit(
         if it == 0 or (it + 1) % config.log_every == 0:
             lv = float(metrics["loss"])
             n = int(metrics["n_alive"])
-            print(f"iter {it+1:4d}  loss={lv:.6f}  N={n}")
+            now = time.perf_counter()
+            steps = max(it + 1 - last_log_it, 1)
+            rate = v * config.width * config.height * steps / max(
+                now - last_log_t, 1e-9)
+            last_log_t, last_log_it = now, it + 1
+            print(f"iter {it+1:4d}  loss={lv:.6f}  N={n}  "
+                  f"{rate/1e6:.1f} Mpix/s")
 
         densify_fires = (it + 1) % config.densify_interval == 0
         prune_fires = (it + 1) % config.prune_interval == 0
