@@ -61,3 +61,35 @@ def test_view_cli_save(fitted_npz, tmp_path):
     out = tmp_path / "scatter.png"
     view_cli.main([str(fitted_npz), "--save", str(out), "--max_points", "10"])
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_render_server(fitted_npz):
+    """Spin up the HTTP render server in-process and fetch /info + a frame."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from tpu_gaussians.cli.serve import RenderService, make_handler
+
+    service = RenderService(str(fitted_npz), impl="jnp", fovy=60.0)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/info", timeout=30) as r:
+            import json
+            info = json.loads(r.read())
+            assert info["num_gaussians"] == 20
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/render?yaw=0.3&width=64&height=48"
+                f"&mode=accum", timeout=60) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            data = r.read()
+        from PIL import Image
+        import io as _io
+        img = np.asarray(Image.open(_io.BytesIO(data)))
+        assert img.shape == (48, 64, 3)
+    finally:
+        server.shutdown()

@@ -1,0 +1,155 @@
+"""TPU render server: serve rendered frames of a fitted model over HTTP.
+
+The server half of the split-viewer design (SURVEY.md §2 native-equivalents
+table: the native viewer can display frames streamed from a TPU render
+server). Loads a fitted npz once (device-resident across requests — unlike
+the reference viewer's per-frame H2D upload, renderer.cu:363-366) and
+answers:
+
+  GET /render?yaw=0.5&pitch=0.2&radius=2.5&width=640&height=480&mode=sorted
+      -> image/png
+  GET /info  -> application/json model + config summary
+
+Usage:
+  python -m tpu_gaussians.cli.serve model.npz --port 8008 [--impl auto]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import math
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("npz", help="Fitted gaussians npz")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8008)
+    ap.add_argument("--impl", choices=["auto", "jnp", "pallas"], default="auto")
+    ap.add_argument("--fovy", type=float, default=60.0)
+    return ap
+
+
+class RenderService:
+    """Holds the device-resident model and renders frames on demand."""
+
+    def __init__(self, npz_path: str, impl: str, fovy: float):
+        import jax
+
+        from tpu_gaussians.core import camera as cam
+        from tpu_gaussians.core.types import Camera, RenderConfig
+        from tpu_gaussians.io.npz import load_gaussians_npz
+        from tpu_gaussians.ops.dispatch import render
+        from tpu_gaussians.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        self._cam = cam
+        self._Camera = Camera
+        self._RenderConfig = RenderConfig
+        self._render = render
+        self._jax = jax
+        self.impl = impl
+        self.fovy = fovy
+        self.gaussians = load_gaussians_npz(npz_path)
+        self.n = int(self.gaussians.means.shape[0])
+        self._jitted = {}
+
+    def _fn(self, width: int, height: int, mode: str):
+        key = (width, height, mode)
+        if key not in self._jitted:
+            config = self._RenderConfig(
+                width=width, height=height, mode=mode, impl=self.impl,
+                background=(0.02, 0.02, 0.02),
+            )
+
+            def f(g, view, proj):
+                return self._render(g, self._Camera(view=view, proj=proj),
+                                    config)
+
+            self._jitted[key] = self._jax.jit(f)
+        return self._jitted[key]
+
+    def render_frame(self, yaw: float, pitch: float, radius: float,
+                     width: int, height: int, mode: str) -> np.ndarray:
+        cam = self._cam
+        eye = [radius * math.cos(pitch) * math.sin(yaw),
+               radius * math.sin(pitch),
+               radius * math.cos(pitch) * math.cos(yaw)]
+        view = cam.look_at(eye, [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+        proj = cam.perspective(self.fovy, width / height, 0.01, 100.0)
+        img = self._fn(width, height, mode)(self.gaussians, view, proj)
+        return np.asarray(img)
+
+
+def make_handler(service: RenderService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/info":
+                body = json.dumps({
+                    "num_gaussians": service.n,
+                    "impl": service.impl,
+                    "sh": service.gaussians.sh is not None,
+                    "quats": service.gaussians.quats is not None,
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if url.path != "/render":
+                self.send_response(404)
+                self.end_headers()
+                return
+            q = parse_qs(url.query)
+            get = lambda k, d: float(q.get(k, [d])[0])
+            try:
+                img = service.render_frame(
+                    yaw=get("yaw", 0.0), pitch=get("pitch", 0.2),
+                    radius=get("radius", 2.5),
+                    width=int(get("width", 640)), height=int(get("height", 480)),
+                    mode=q.get("mode", ["sorted"])[0],
+                )
+            except Exception as e:  # bad params -> 400
+                body = str(e).encode()
+                self.send_response(400)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            from PIL import Image
+            buf = io.BytesIO()
+            Image.fromarray(
+                (np.clip(img, 0, 1) * 255).astype(np.uint8)).save(buf, "PNG")
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    service = RenderService(args.npz, args.impl, args.fovy)
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(service))
+    print(f"serving {service.n} gaussians on http://{args.host}:{args.port} "
+          f"(GET /render?yaw=..&pitch=..&radius=..)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
