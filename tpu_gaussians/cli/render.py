@@ -66,7 +66,14 @@ def main(argv=None) -> None:
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    images = render(g, cameras, config)
+    import jax
+
+    from tpu_gaussians.core.types import Camera
+
+    # jit: eager per-op dispatch is very slow on remote-compile runtimes.
+    images = jax.jit(
+        lambda gg, view, proj: render(gg, Camera(view=view, proj=proj), config)
+    )(g, cameras.view, cameras.proj)
     if images.ndim == 3:
         images = images[None]
     for i in range(images.shape[0]):

@@ -230,5 +230,10 @@ def write_artifacts(
     )
     from tpu_gaussians.ops.dispatch import render
 
-    pred0 = render(g, cam0, render_config)
+    # jit: eager per-op dispatch is pathologically slow on remote-compile
+    # runtimes (one AOT compile per op).
+    pred0 = jax.jit(
+        lambda gg, view, proj: render(gg, Camera(view=view, proj=proj),
+                                      render_config)
+    )(g, cam0.view, cam0.proj)
     im.save_image_png(out_dir / "preview_view0.png", np.asarray(pred0))
