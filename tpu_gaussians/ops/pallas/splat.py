@@ -215,7 +215,10 @@ def _fwd_call(mask, px, py, ca, cb, cc, op, featsT, hw_pad: int, width: int,
 NB2 = 512             # gaussian block inside the v2 range loop
 TP2 = 2048            # pixels per band tile in v2
 V2_VMEM_BUDGET = 80 * 1024 * 1024
-V1_MAX_GRID_STEPS = 1024  # below this, v1's grid overhead is negligible
+V1_MAX_GRID_STEPS = 0  # v2 measured faster at every grid size that fits
+                       # VMEM (bench config: bwd 1.15ms v2 vs 1.74ms v1;
+                       # 300g/128^2: 0.08ms vs 0.15ms) — v1 is now only
+                       # the spill path for N too large for resident gdata
 
 GD_ROWS = 16          # packed rows: 6 params + FEAT_PAD feats + pad
 GD_FEAT0 = 6          # feats start row
@@ -239,8 +242,8 @@ def _v2_fits(n_pad: int, backward: bool) -> bool:
 
 
 def _choose_v2(n: int, hw: int, nb: int, tp: int, backward: bool) -> bool:
-    """v1 wins while its (bands x blocks) grid is small — each grid step
-    costs ~2us of fixed overhead; v2 wins once skipped steps dominate."""
+    """v2 whenever the packed gdata fits VMEM (measured faster at every
+    scale, small and large); v1 is the fallback for huge N."""
     n_pad2 = _round_up(n, NB2)
     if not _v2_fits(n_pad2, backward):
         return False
