@@ -241,6 +241,19 @@ def _v2_fits(n_pad: int, backward: bool) -> bool:
     return n_pad * per_gaussian + fixed <= V2_VMEM_BUDGET
 
 
+def _v2_block(n: int) -> int:
+    """Gaussian block for the v2 range loop: the lane-width multiple that
+    minimizes padding waste, capped at NB2 (e.g. n=1200 -> 128-blocks pad
+    to 1280, not 1536 — padded pairs are pure wasted VPU work)."""
+    best = NB2
+    for nb in (128, 256, 384, 512):  # ascending: ties -> larger block
+        if nb > NB2:
+            break
+        if _round_up(n, nb) <= _round_up(n, best):
+            best = nb
+    return best
+
+
 def _choose_v2(n: int, hw: int, nb: int, tp: int, backward: bool) -> bool:
     """v2 whenever the packed gdata fits VMEM (measured faster at every
     scale, small and large); v1 is the fallback for huge N."""
@@ -267,7 +280,7 @@ def _v2_pixel_coords(i, tp: int, width: int):
 
 
 def _fwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, acc_ref, *, width: int,
-                   tp: int):
+                   tp: int, nb: int):
     i = pl.program_id(0)
     gx, gy = _v2_pixel_coords(i, tp, width)
 
@@ -276,8 +289,8 @@ def _fwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, acc_ref, *, width: int,
     cnt = cnt_ref[0, i]
 
     def body(k, carry):
-        b = pl.multiple_of((lo + k) * NB2, NB2)
-        gd = gdata_ref[:, pl.ds(b, NB2)]           # (GD_ROWS, NB2)
+        b = pl.multiple_of((lo + k) * nb, nb)
+        gd = gdata_ref[:, pl.ds(b, nb)]            # (GD_ROWS, nb)
         dx = gx - gd[0:1, :]                       # (TP, NB2)
         dy = gy - gd[1:2, :]
         e = -0.5 * (gd[2:3, :] * dx * dx
@@ -296,12 +309,12 @@ def _fwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, acc_ref, *, width: int,
     jax.lax.fori_loop(0, cnt, body, 0)
 
 
-def _fwd_call_v2(lo, cnt, gdata, hw_pad: int, width: int) -> Array:
+def _fwd_call_v2(lo, cnt, gdata, hw_pad: int, width: int, nb: int) -> Array:
     n_pad = gdata.shape[1]
     grid = (hw_pad // TP2,)
 
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_v2, width=width, tp=TP2),
+        functools.partial(_fwd_kernel_v2, width=width, tp=TP2, nb=nb),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # lo
@@ -321,7 +334,7 @@ def _fwd_call_v2(lo, cnt, gdata, hw_pad: int, width: int) -> Array:
 
 
 def _bwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, g8_ref, out_ref,
-                   *, width: int, tp: int):
+                   *, width: int, tp: int, nb: int):
     i = pl.program_id(0)  # band
 
     @pl.when(i == 0)
@@ -333,8 +346,8 @@ def _bwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, g8_ref, out_ref,
     cnt = cnt_ref[0, i]
 
     def body(k, carry):
-        b = pl.multiple_of((lo + k) * NB2, NB2)
-        gd = gdata_ref[:, pl.ds(b, NB2)]           # (GD_ROWS, NB2)
+        b = pl.multiple_of((lo + k) * nb, nb)
+        gd = gdata_ref[:, pl.ds(b, nb)]            # (GD_ROWS, nb)
         ca = gd[2:3, :]
         cb = gd[3:4, :]
         cc = gd[4:5, :]
@@ -367,21 +380,22 @@ def _bwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, g8_ref, out_ref,
 
         contrib = jnp.concatenate(
             [g_px, g_py, g_ca, g_cb, g_cc, g_op, g_feat,
-             jnp.zeros((GD_ROWS - 6 - FEAT_PAD, NB2), jnp.float32)],
+             jnp.zeros((GD_ROWS - 6 - FEAT_PAD, nb), jnp.float32)],
             axis=0,
-        )                                          # (GD_ROWS, NB2)
-        out_ref[:, pl.ds(b, NB2)] += contrib
+        )                                          # (GD_ROWS, nb)
+        out_ref[:, pl.ds(b, nb)] += contrib
         return carry
 
     jax.lax.fori_loop(0, cnt, body, 0)
 
 
-def _bwd_call_v2(lo, cnt, gdata, g8, hw_pad: int, width: int) -> Array:
+def _bwd_call_v2(lo, cnt, gdata, g8, hw_pad: int, width: int,
+                 nb: int) -> Array:
     n_pad = gdata.shape[1]
     grid = (hw_pad // TP2,)
 
     return pl.pallas_call(
-        functools.partial(_bwd_kernel_v2, width=width, tp=TP2),
+        functools.partial(_bwd_kernel_v2, width=width, tp=TP2, nb=nb),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # lo
@@ -530,17 +544,18 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width):
     hw_pad = _round_up(hw, tp)
 
     if _choose_v2(n, hw, nb, tp, backward=False):
-        n_pad2 = _round_up(n, NB2)
+        nb2 = _v2_block(n)
+        n_pad2 = _round_up(n, nb2)
         hw_pad2 = _round_up(hw, TP2)
         px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
             px, py, ca, cb, cc, op, feats, n_pad2)
         sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
         mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
-                                hw_pad2 // TP2, TP2, NB2, width)
+                                hw_pad2 // TP2, TP2, nb2, width)
         lo, cnt = _block_ranges(mask)
         gdata = _pack_gdata(px_p[:, 0], py_p[:, 0], ca_p[:, 0], cb_p[:, 0],
                             cc_p[:, 0], op_p[:, 0], feats_p)
-        acc8 = _fwd_call_v2(lo, cnt, gdata, hw_pad2, width)  # (8, hw_pad2)
+        acc8 = _fwd_call_v2(lo, cnt, gdata, hw_pad2, width, nb2)
         acc = acc8[:FEAT_DIM, :hw].T
     else:
         n_pad = _round_up(n, nb)
@@ -565,18 +580,19 @@ def _splat_bwd(height, width, residuals, g):
     hw_pad = _round_up(hw, tp)
 
     if _choose_v2(n, hw, nb, tp, backward=True):
-        n_pad2 = _round_up(n, NB2)
+        nb2 = _v2_block(n)
+        n_pad2 = _round_up(n, nb2)
         hw_pad2 = _round_up(hw, TP2)
         px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
             px, py, ca, cb, cc, op, feats, n_pad2)
         sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
         mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
-                                hw_pad2 // TP2, TP2, NB2, width)
+                                hw_pad2 // TP2, TP2, nb2, width)
         lo, cnt = _block_ranges(mask)
         gdata = _pack_gdata(px_p[:, 0], py_p[:, 0], ca_p[:, 0], cb_p[:, 0],
                             cc_p[:, 0], op_p[:, 0], feats_p)
         g8_2 = jnp.pad(g, ((0, hw_pad2 - hw), (0, FEAT_PAD - FEAT_DIM))).T
-        outT = _bwd_call_v2(lo, cnt, gdata, g8_2, hw_pad2, width)
+        outT = _bwd_call_v2(lo, cnt, gdata, g8_2, hw_pad2, width, nb2)
         out = outT.T                                  # (n_pad2, GD_ROWS)
     else:
         gT = jnp.pad(g, ((0, hw_pad - hw), (0, FEAT_PAD - FEAT_DIM)))
