@@ -1,4 +1,4 @@
-"""Pallas depth-sorted front-to-back compositing (forward only), binned.
+"""Pallas depth-sorted front-to-back compositing (forward only), 2D-tiled.
 
 The TPU replacement for the reference's depth-aware render paths — exact
 global-sort semantics like the CPU path (renderer_cpu.cpp:125-217), not
@@ -10,18 +10,33 @@ the CUDA depth-slicing approximation (renderer.cu:106-270):
   finalize: out = clip(rgb + T * bg, 0, 1)
 
 Binning (the TPU answer to CUDA's duplicate-and-sort tile binning, done
-with fixed shapes): each z-ranked gaussian is duplicated into every pixel
-band its conservative y-extent overlaps (extent from the 1e-5 alpha
-cutoff, so exclusion is exact w.r.t. the reference's own cutoff); the
-(band, z-rank) pairs are sorted and scattered into a dense
-(n_bands, band_capacity) layout of gaussian indices — every band gets a
-contiguous, depth-ordered list. The kernel grid is
-(bands x chunks_per_band); chunks stream through VMEM via BlockSpec
-auto-DMA, and a per-band running transmittance in VMEM scratch performs
-the ordered merge (within-chunk ordering via an exclusive cumulative
-product of (1 - a) along lanes).
+with fixed shapes): the image is cut into TH x TWC pixel tiles (16 x 128
+-> one 2048-px kernel block per tile). Each gaussian is duplicated into
+every 2D tile its conservative extent overlaps (extent from the 1e-5
+alpha cutoff, so exclusion is exact w.r.t. the reference's own cutoff;
+at most _k_pairs(n) tiles, rect re-centered on the gaussian when
+truncated — full coverage for small/medium scenes).
+One multi-key `lax.sort` over (tile, z-bits, index) both depth-orders
+and tile-groups the pairs in a single pass — z descending is encoded as
+a monotone integer transform of the -z float bits, and the index key
+reproduces the stable tie-break of `argsort(-z)`, so the composite order
+is bit-identical to the jnp oracle. Per-tile dense, depth-ordered lists
+are then materialized by *gather* (position arithmetic from searchsorted
+offsets — no scatter). The kernel grid is (tiles x chunks): chunks
+stream through VMEM via BlockSpec auto-DMA; per-tile running
+transmittance lives in VMEM scratch ((1, TP) lane-dense), with
+within-chunk ordering via an exclusive cumulative product of (1 - a)
+along lanes, and a whole-chunk transmittance early-exit (skip once
+max T < 1e-6 — the TPU analog of the reference's per-pixel T <= 1e-4
+break, renderer.cu:251-252, but tightened so the approximation error is
+below float tolerance).
 
-`band_capacity` bounds each band's list; when a band overflows, the
+2D tiles vs the previous full-width row bands: a band spanned ~2 image
+rows at 960w, so a typical splat hit ~11 bands and was evaluated against
+every x in each (no x-culling at all). 16x128 tiles cull in both axes —
+measured ~4x fewer (gaussian, tile) pairs and ~2x less kernel work.
+
+`band_capacity` bounds each tile's list; when a tile overflows, the
 FARTHEST entries are dropped (they are the most occluded). The default
 capacity covers small/medium scenes losslessly; RenderConfig users can
 raise it for dense scenes.
@@ -45,18 +60,28 @@ from tpu_gaussians.core.types import Array
 from tpu_gaussians.ops.common import SplatInputs
 from tpu_gaussians.ops.pallas.splat import (
     FEAT_PAD,
-    GD_FEAT0,
     GD_ROWS,
     _interpret,
-    _pack_gdata,
     _round_up,
-    _sigma_y_from_conic,
 )
 
 NBS = 512      # gaussians per ordered chunk
-TPS = 2048     # pixels per band
+TH = 16        # tile height (pixel rows)
+TWC = 128      # tile width (pixel cols = lane dim)
+TPS = TH * TWC # pixels per tile (2048)
 ALPHA_CUTOFF = 1e-5
-MAX_BANDS_PER_GAUSSIAN = 32
+EXIT_T = 1e-6  # whole-chunk early-exit transmittance threshold
+
+# Per-gaussian tile budget K adapts to scene size: the (tile, z) sort runs
+# over n*K entries whether pairs are valid or not, so K is chosen to cap
+# that at PAIR_BUDGET — small scenes get full splat coverage (K up to
+# K_MAX), huge scenes (whose splats are small) get a tight budget.
+PAIR_BUDGET = 12_000_000
+K_MIN, K_MAX = 8, 64
+
+
+def _k_pairs(n: int) -> int:
+    return int(min(K_MAX, max(K_MIN, PAIR_BUDGET // max(n, 1))))
 
 
 def _exclusive_cumprod_lanes(x: Array) -> Array:
@@ -77,22 +102,33 @@ def _exclusive_cumprod_lanes(x: Array) -> Array:
     return y
 
 
+def _zkey_desc(z: Array) -> Array:
+    """Monotone uint32 key with ascending order == z DESCENDING (near
+    first), bit-exact: the standard IEEE-754 total-order transform of -z."""
+    bits = jax.lax.bitcast_convert_type(-z, jnp.uint32)
+    neg = (bits >> 31) != 0
+    return jnp.where(neg, ~bits, bits | jnp.uint32(0x80000000))
+
+
 def _sorted_kernel(cnt_ref, gdense_ref, acc_ref, rgbw_ref, trans_ref,
-                   *, width: int, tp: int, chunks_per_band: int):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+                   *, tiles_x: int, chunks_per_tile: int):
+    i = pl.program_id(0)  # tile
+    j = pl.program_id(1)  # chunk within tile
 
     @pl.when(j == 0)
     def _():
         rgbw_ref[:] = jnp.zeros_like(rgbw_ref)
         trans_ref[:] = jnp.ones_like(trans_ref)
 
-    @pl.when(j * NBS < cnt_ref[0, i])
+    live = jnp.max(trans_ref[:]) > EXIT_T  # early-exit: tile gone opaque
+
+    @pl.when((j * NBS < cnt_ref[0, i]) & live)
     def _():
-        base = i * tp
-        idx = base + jax.lax.broadcasted_iota(jnp.int32, (tp, 1), dimension=0)
-        gx = (idx % width).astype(jnp.float32) + 0.5   # (TP, 1)
-        gy = (idx // width).astype(jnp.float32) + 0.5
+        ty = i // tiles_x
+        tx = i % tiles_x
+        pix = jax.lax.broadcasted_iota(jnp.int32, (TPS, 1), dimension=0)
+        gx = (tx * TWC + pix % TWC).astype(jnp.float32) + 0.5   # (TP, 1)
+        gy = (ty * TH + pix // TWC).astype(jnp.float32) + 0.5
 
         gd = gdense_ref[:]                      # (GD_ROWS, NBS)
         dx = gx - gd[0:1, :]                    # (TP, NBS)
@@ -106,73 +142,108 @@ def _sorted_kernel(cnt_ref, gdense_ref, acc_ref, rgbw_ref, trans_ref,
         t_within = _exclusive_cumprod_lanes(1.0 - a)  # (TP, NBS)
         contrib = t_within * a                   # (TP, NBS)
 
-        feats8 = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]   # (8, NBS)
-        # block_rgbw[p, f] = sum_i contrib[p, i] * feats8[f, i]
-        block_rgbw = jax.lax.dot_general(
-            contrib, feats8, dimension_numbers=(((1,), (1,)), ((), ())),
+        feats8 = gd[6:14, :]                     # (8, NBS) [r,g,b,1,z,...]
+        # block[f, p] = sum_i feats8[f, i] * contrib[p, i]; row 3 of feats
+        # is the constant 1, so block[3] is the chunk alpha for free.
+        block = jax.lax.dot_general(
+            feats8, contrib, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision="highest",
-        )                                        # (TP, 8)
-        block_alpha = jnp.sum(contrib, axis=1, keepdims=True)  # (TP, 1)
+        )                                        # (8, TP) lane-dense
 
-        trans = trans_ref[:]
-        rgbw_ref[:] += trans * block_rgbw
-        trans_ref[:] = trans * (1.0 - block_alpha)
+        trans = trans_ref[:]                     # (1, TP)
+        rgbw_ref[:] += trans * block
+        # prod(1-a_i) over the chunk == 1 - sum contrib_i (telescoping)
+        trans_ref[:] = trans * (1.0 - block[3:4, :])
 
-    @pl.when(j == chunks_per_band - 1)
+    @pl.when(j == chunks_per_tile - 1)
     def _():
-        # Column 3 carries the final alpha (scatter is unsupported in
-        # Mosaic; use a lane-select instead).
-        cols = jax.lax.broadcasted_iota(jnp.int32, rgbw_ref.shape, 1)
-        acc_ref[:] = jnp.where(cols == 3, 1.0 - trans_ref[:], rgbw_ref[:])
+        rows = jax.lax.broadcasted_iota(jnp.int32, rgbw_ref.shape, 0)
+        acc_ref[:] = jnp.where(rows == 3, 1.0 - trans_ref[:], rgbw_ref[:])
 
 
-def _bin_pairs(py, sy_eff, op_eff, n_bands: int, width: int,
-               band_capacity: int):
-    """Duplicate z-ranked gaussians into their overlapped bands and build
-    the dense (n_bands * band_capacity,) gaussian-index layout + per-band
-    counts. All inputs are z-rank ordered, length n_pad."""
-    n_pad = py.shape[0]
-    k = min(MAX_BANDS_PER_GAUSSIAN, max(n_bands, 1))
+def _tile_rects(px, py, sigma_x, sigma_y, op_eff,
+                tiles_x: int, tiles_y: int, k: int):
+    """Per-gaussian overlapped-tile rectangle (k-budgeted).
 
+    Extent radius from the alpha cutoff (exact w.r.t. the reference's own
+    a < 1e-5 drop); when the rect exceeds the k budget it is shrunk
+    re-centered on the gaussian so the hottest tiles are kept.
+    Returns (tx_lo, ty_lo, kx, ky, count) int32 arrays.
+    """
     r = jnp.sqrt(2.0 * jnp.log(
         jnp.maximum(op_eff, ALPHA_CUTOFF) / ALPHA_CUTOFF))
     dead = op_eff <= ALPHA_CUTOFF
-    ylo = py - r * sy_eff - 1.0
-    yhi = py + r * sy_eff + 1.0
-    b_lo = jnp.clip((jnp.floor(ylo) * width) // TPS, 0, n_bands - 1
-                    ).astype(jnp.int32)
-    b_hi = jnp.clip(((jnp.ceil(yhi) + 1.0) * width) // TPS, 0, n_bands - 1
-                    ).astype(jnp.int32)
-    count = jnp.where(dead, 0, jnp.minimum(b_hi - b_lo + 1, k)
-                      ).astype(jnp.int32)
+    rx = r * sigma_x + 1.0
+    ry = r * sigma_y + 1.0
+
+    tx_lo = jnp.clip(jnp.floor((px - rx) / TWC), 0, tiles_x - 1
+                     ).astype(jnp.int32)
+    tx_hi = jnp.clip(jnp.floor((px + rx) / TWC), 0, tiles_x - 1
+                     ).astype(jnp.int32)
+    ty_lo = jnp.clip(jnp.floor((py - ry) / TH), 0, tiles_y - 1
+                     ).astype(jnp.int32)
+    ty_hi = jnp.clip(jnp.floor((py + ry) / TH), 0, tiles_y - 1
+                     ).astype(jnp.int32)
+
+    kx = tx_hi - tx_lo + 1
+    ky = ty_hi - ty_lo + 1
+
+    # Budget: shrink the rect centered on the gaussian's own tile.
+    kx_c = jnp.minimum(kx, k)
+    ky_c = jnp.minimum(ky, jnp.maximum(1, k // kx_c))
+    txc = jnp.clip(jnp.floor(px / TWC), 0, tiles_x - 1).astype(jnp.int32)
+    tyc = jnp.clip(jnp.floor(py / TH), 0, tiles_y - 1).astype(jnp.int32)
+    tx_lo = jnp.clip(txc - (kx_c - 1) // 2, tx_lo, tx_hi - kx_c + 1)
+    ty_lo = jnp.clip(tyc - (ky_c - 1) // 2, ty_lo, ty_hi - ky_c + 1)
+
+    count = jnp.where(dead, 0, kx_c * ky_c).astype(jnp.int32)
+    return tx_lo, ty_lo, kx_c, count
+
+
+def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
+                  tiles_x: int, tiles_y: int, cap: int):
+    """Duplicate gaussians into overlapped tiles, depth-order + tile-group
+    with ONE lax.sort, and gather dense per-tile lists.
+
+    Returns (slots (n_tiles*cap,) int32 indices [n == dead row],
+             cnt (1, n_tiles) int32 per-tile list lengths)."""
+    n = px.shape[0]
+    n_tiles = tiles_x * tiles_y
+    k = _k_pairs(n)
+    tx_lo, ty_lo, kx_c, count = _tile_rects(
+        px, py, sigma_x, sigma_y, op_eff, tiles_x, tiles_y, k)
 
     jj = jnp.arange(k, dtype=jnp.int32)
-    band_ids = b_lo[:, None] + jj[None, :]            # (n_pad, k)
-    valid = (jj[None, :] < count[:, None]) & (band_ids < n_bands)
+    drow = jj[None, :] // kx_c[:, None]            # (n, K)
+    dcol = jj[None, :] % kx_c[:, None]
+    tile = (ty_lo[:, None] + drow) * tiles_x + (tx_lo[:, None] + dcol)
+    valid = jj[None, :] < count[:, None]
+    tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
 
-    big = jnp.int32(2**31 - 1)
-    zrank = jnp.arange(n_pad, dtype=jnp.int32)
-    keys = jnp.where(valid, band_ids * n_pad + zrank[:, None], big)
-    flat = keys.reshape(-1)
-    sort_idx = jnp.argsort(flat)
-    sorted_keys = flat[sort_idx]
-    pair_gauss = (sort_idx // k).astype(jnp.int32)
-    pair_valid = sorted_keys != big
-    pair_band = jnp.where(pair_valid, sorted_keys // n_pad, n_bands)
+    zk = _zkey_desc(z_cam)
+    zk_p = jnp.broadcast_to(zk[:, None], (n, k)).reshape(-1)
+    gidx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k)).reshape(-1)
 
-    lo = jnp.searchsorted(pair_band, jnp.arange(n_bands), side="left")
-    p = pair_band.shape[0]
-    rank = jnp.arange(p, dtype=jnp.int32) - lo[
-        jnp.clip(pair_band, 0, n_bands - 1)].astype(jnp.int32)
-    keep = pair_valid & (rank < band_capacity)
-    dense_pos = jnp.where(keep, pair_band * band_capacity + rank,
-                          n_bands * band_capacity)
-    slots = jnp.full((n_bands * band_capacity,), n_pad, jnp.int32)
-    slots = slots.at[dense_pos].set(pair_gauss, mode="drop")
+    # One sort: groups by tile, depth-orders within tile, and the index
+    # key reproduces argsort(-z)'s stable tie-break exactly.
+    tile_s, _, gauss_s = jax.lax.sort(
+        (tile.reshape(-1), zk_p, gidx), num_keys=3)
 
-    cnt_hi = jnp.searchsorted(pair_band, jnp.arange(n_bands), side="right")
-    cnt = jnp.minimum(cnt_hi - lo, band_capacity).astype(jnp.int32)
-    # (1, n_bands): 2D so SMEM blocks stay legal under vmap batching.
+    lo = jnp.searchsorted(tile_s, jnp.arange(n_tiles, dtype=jnp.int32),
+                          side="left")
+    hi = jnp.searchsorted(tile_s, jnp.arange(n_tiles, dtype=jnp.int32),
+                          side="right")
+    cnt = jnp.minimum(hi - lo, cap).astype(jnp.int32)
+
+    # Dense layout by GATHER (no scatter): slot (t, r) holds the pair at
+    # sorted position lo[t] + r while r < cnt[t], else the dead row n.
+    rank = jnp.arange(cap, dtype=jnp.int32)
+    pos = lo[:, None] + rank[None, :]              # (n_tiles, cap)
+    keep = rank[None, :] < cnt[:, None]
+    pos = jnp.clip(pos, 0, tile_s.shape[0] - 1)
+    slots = jnp.where(keep, gauss_s[pos], n).reshape(-1)
+    # (1, n_tiles): 2D so SMEM blocks stay legal under vmap batching.
     return slots, cnt[None, :]
 
 
@@ -181,53 +252,50 @@ def sorted_composite_pallas(
     height: int, width: int, band_capacity: int = 0,
 ) -> Tuple[Array, Array]:
     """Depth-sorted forward render -> (image (H,W,3), alpha (H,W))."""
-    order = jnp.argsort(-z_cam)
-    s = jax.tree.map(lambda a: a[order], s)
-
     n = s.px.shape[0]
-    hw = height * width
-    n_pad = _round_up(n, NBS)
-    hw_pad = _round_up(hw, TPS)
-    n_bands = hw_pad // TPS
+    tiles_x = _round_up(width, TWC) // TWC
+    tiles_y = _round_up(height, TH) // TH
+    n_tiles = tiles_x * tiles_y
 
     if band_capacity <= 0:
-        band_capacity = min(n_pad, max(4096, NBS))
+        band_capacity = min(_round_up(n, NBS), max(4096, NBS))
     band_capacity = _round_up(band_capacity, NBS)
-    chunks_per_band = band_capacity // NBS
+    chunks_per_tile = band_capacity // NBS
 
-    # Row n_pad is the guaranteed-dead slot pointed to by empty entries.
-    pad0 = lambda a: jnp.pad(a, (0, n_pad + 1 - n))
-    pad1 = lambda a: jnp.pad(a, (0, n_pad + 1 - n), constant_values=1.0)
-    feats_p = jnp.pad(
-        s.feats, ((0, n_pad + 1 - n), (0, FEAT_PAD - s.feats.shape[1])))
-    gdata = _pack_gdata(pad0(s.px), pad0(s.py), pad1(s.conic_a),
-                        pad0(s.conic_b), pad1(s.conic_c), pad0(s.op_eff),
-                        feats_p)                      # (16, n_pad+1)
+    slots, cnt = _bin_pairs_2d(
+        s.px, s.py, s.sigma_x, s.sigma_y, s.op_eff, z_cam,
+        tiles_x, tiles_y, band_capacity)
 
-    sy_eff = _sigma_y_from_conic(pad1(s.conic_a)[:n_pad],
-                                 pad0(s.conic_b)[:n_pad],
-                                 pad1(s.conic_c)[:n_pad])
-    slots, cnt = _bin_pairs(pad0(s.py)[:n_pad], sy_eff,
-                            pad0(s.op_eff)[:n_pad],
-                            n_bands, width, band_capacity)
-    gdense = gdata[:, slots]                          # (16, bands*cap)
+    # Row-major packed gaussian data (n+1, 16) — row n is the dead slot —
+    # gathered by rows (contiguous 64B) then transposed once.
+    feats_p = jnp.pad(s.feats, ((0, 0), (0, FEAT_PAD - s.feats.shape[1])))
+    cols = [s.px, s.py, s.conic_a, s.conic_b, s.conic_c, s.op_eff]
+    cols += [feats_p[:, f] for f in range(FEAT_PAD)]
+    cols += [jnp.zeros_like(s.px)] * (GD_ROWS - len(cols))
+    gdataT = jnp.stack(cols, axis=1)                      # (n, 16)
+    dead = jnp.zeros((1, GD_ROWS), jnp.float32)
+    dead = dead.at[0, 2].set(1.0).at[0, 4].set(1.0)       # identity conic
+    gdataT = jnp.concatenate([gdataT, dead], axis=0)      # (n+1, 16)
+
+    gdense = gdataT[slots].T                              # (16, tiles*cap)
 
     acc = pl.pallas_call(
-        functools.partial(_sorted_kernel, width=width, tp=TPS,
-                          chunks_per_band=chunks_per_band),
-        grid=(n_bands, chunks_per_band),
+        functools.partial(_sorted_kernel, tiles_x=tiles_x,
+                          chunks_per_tile=chunks_per_tile),
+        grid=(n_tiles, chunks_per_tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # cnt
             pl.BlockSpec((GD_ROWS, NBS),
-                         lambda i, j: (0, i * chunks_per_band + j),
+                         lambda i, j: (0, i * chunks_per_tile + j),
                          memory_space=pltpu.VMEM),    # gdense chunk
         ],
-        out_specs=pl.BlockSpec((TPS, FEAT_PAD), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((FEAT_PAD, TPS), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hw_pad, FEAT_PAD), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((FEAT_PAD, n_tiles * TPS),
+                                       jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TPS, FEAT_PAD), jnp.float32),  # rgbw accumulator
-            pltpu.VMEM((TPS, 1), jnp.float32),         # transmittance
+            pltpu.VMEM((FEAT_PAD, TPS), jnp.float32),  # rgbw accumulator
+            pltpu.VMEM((1, TPS), jnp.float32),         # transmittance
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -236,8 +304,11 @@ def sorted_composite_pallas(
         interpret=_interpret(),
     )(cnt, gdense)
 
-    rgb = acc[:hw, :3]                               # (hw, 3)
-    alpha = acc[:hw, 3]
-    image = rgb + (1.0 - alpha)[:, None] * background[None, :]
-    image = jnp.clip(image, 0.0, 1.0).reshape(height, width, 3)
-    return image, alpha.reshape(height, width)
+    # (8, tiles*TPS) -> (Hp, Wp, 8) -> crop
+    full = acc.reshape(FEAT_PAD, tiles_y, tiles_x, TH, TWC)
+    full = full.transpose(1, 3, 2, 4, 0).reshape(
+        tiles_y * TH, tiles_x * TWC, FEAT_PAD)
+    rgb = full[:height, :width, :3]
+    alpha = full[:height, :width, 3]
+    image = rgb + (1.0 - alpha)[..., None] * background[None, None, :]
+    return jnp.clip(image, 0.0, 1.0), alpha
