@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     ap.add_argument("--use_sh", action="store_true",
                     help="Use SH degree-1 color (N,4,3) instead of RGB")
+    ap.add_argument("--sh_degree", type=int, default=d.sh_degree,
+                    choices=[1, 2, 3],
+                    help="SH degree with --use_sh: 1 = reference "
+                         "convention; 2/3 = standard 3DGS real SH "
+                         "(extension)")
 
     ap.add_argument("--densify_interval", type=int, default=d.densify_interval)
     ap.add_argument("--prune_interval", type=int, default=d.prune_interval)

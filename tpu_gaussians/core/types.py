@@ -73,7 +73,9 @@ class Gaussians:
                  gaussian_types.h:10)
       opacities: (C,)   in [0, 1]
       colors:    (C, 3) RGB in [0, 1], or None when `sh` is set
-      sh:        (C, 4, 3) SH degree-1 coefficients [dc, c1x, c1y, c1z], or None
+      sh:        (C, K, 3) SH coefficients, or None. K=4: reference
+                 degree-1 convention [dc, c1x, c1y, c1z]; K=9/16:
+                 standard 3DGS real-SH degree 2/3 (ops/sh.py)
       alive:     (C,) float32 {0,1} mask; None means all alive
       quats:     (C, 4) wxyz unit quaternions for the EWA footprint, or None
                  (axis-aligned footprint; the reference has no rotation —
@@ -181,8 +183,11 @@ def validate_gaussians(g: Gaussians) -> None:
         raise ValueError("exactly one of colors / sh must be set")
     if g.colors is not None and g.colors.shape != (n, 3):
         raise ValueError(f"colors must be ({n},3), got {g.colors.shape}")
-    if g.sh is not None and g.sh.shape != (n, 4, 3):
-        raise ValueError(f"sh must be ({n},4,3), got {g.sh.shape}")
+    if g.sh is not None and (
+            g.sh.ndim != 3 or g.sh.shape[0] != n
+            or g.sh.shape[1] not in (4, 9, 16) or g.sh.shape[2] != 3):
+        raise ValueError(
+            f"sh must be ({n},{{4|9|16}},3), got {g.sh.shape}")
     if g.alive is not None and g.alive.shape != (n,):
         raise ValueError(f"alive must be ({n},), got {g.alive.shape}")
     if g.quats is not None and g.quats.shape != (n, 4):

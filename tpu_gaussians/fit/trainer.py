@@ -108,7 +108,8 @@ def fit(
     key, k_init = jax.random.split(key)
     capacity = max(config.max_gaussians, config.num_gaussians)
     raw = init_params(k_init, config.num_gaussians, capacity, config.use_sh,
-                      use_quats=(getattr(config, "footprint", "axis") == "ewa"))
+                      use_quats=(getattr(config, "footprint", "axis") == "ewa"),
+                      sh_degree=getattr(config, "sh_degree", 1))
 
     tx = make_optimizer(config.lr)
     state = init_state(raw, tx)

@@ -29,7 +29,13 @@ def save_gaussians_npz(path: Union[str, Path], g: Gaussians) -> None:
     arrays = {"means": means, "scales": scales, "opacities": opacities}
     if g.use_sh:
         sh = np.asarray(g.sh, dtype=np.float32)[alive]
-        arrays["colors"] = np.clip(sh[:, 0, :], 0.0, 1.0).astype(np.float32)
+        if sh.shape[1] > 4:  # 3DGS convention: dc color = 0.5 + C0*sh0
+            from tpu_gaussians.ops.sh import SH_C0
+
+            dc_rgb = 0.5 + SH_C0 * sh[:, 0, :]
+        else:  # reference convention: dc IS the color (:333)
+            dc_rgb = sh[:, 0, :]
+        arrays["colors"] = np.clip(dc_rgb, 0.0, 1.0).astype(np.float32)
         arrays["sh_coeffs"] = sh
     else:
         arrays["colors"] = np.asarray(g.colors, dtype=np.float32)[alive]

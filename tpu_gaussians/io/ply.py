@@ -7,8 +7,9 @@ Field conventions of that ecosystem:
   x, y, z                    gaussian centers
   f_dc_0..2                  SH degree-0 color: (rgb - 0.5) / C0,
                              C0 = 0.28209479177387814
-  f_rest_*                   higher SH terms (degree-1 here: 9 values,
-                             channel-major like 3DGS; zeros when absent)
+  f_rest_*                   higher SH terms, channel-major like 3DGS:
+                             9 values for degree 1, 24 for degree 2, 45
+                             for degree 3 (zeros when absent)
   opacity                    logit(opacity)   (they apply sigmoid)
   scale_0..2                 log(scale)       (they apply exp)
   rot_0..3                   wxyz quaternion  (they normalize)
@@ -37,7 +38,14 @@ def save_gaussians_ply(path: Union[str, Path], g: Gaussians) -> None:
     opac = np.asarray(g.opacities, np.float32)[alive]
     n = means.shape[0]
 
-    if g.use_sh:
+    if g.use_sh and g.sh.shape[1] > 4:
+        # 3DGS-convention coefficients (ops/sh.py): written verbatim.
+        sh = np.asarray(g.sh, np.float32)[alive]       # (N, 9|16, 3)
+        f_dc = sh[:, 0, :].astype(np.float32)
+        k_rest = sh.shape[1] - 1
+        f_rest = sh[:, 1:, :].transpose(0, 2, 1).reshape(
+            n, 3 * k_rest).astype(np.float32)
+    elif g.use_sh:
         sh = np.asarray(g.sh, np.float32)[alive]       # (N,4,3) [dc,c1x,c1y,c1z]
         dc_rgb = np.clip(sh[:, 0, :], 0.0, 1.0)
         f_dc = (dc_rgb - 0.5) / SH_C0
@@ -68,7 +76,7 @@ def save_gaussians_ply(path: Union[str, Path], g: Gaussians) -> None:
 
     props = (["x", "y", "z"]
              + [f"f_dc_{i}" for i in range(3)]
-             + [f"f_rest_{i}" for i in range(9)]
+             + [f"f_rest_{i}" for i in range(f_rest.shape[1])]
              + ["opacity"]
              + [f"scale_{i}" for i in range(3)]
              + [f"rot_{i}" for i in range(4)])
@@ -136,8 +144,16 @@ def load_gaussians_ply(path: Union[str, Path]) -> Gaussians:
     if rest_names:
         n_rest = len(rest_names)
         rest = get(sorted(rest_names, key=lambda s: int(s.split("_")[-1])))
-        if n_rest >= 9 and np.abs(rest[:, :9]).max() > 0:
-            # Invert the degree-1 mapping (extra degrees ignored).
+        if n_rest >= 24 and np.abs(rest[:, 9:]).max() > 0:
+            # Degree 2/3: keep the native 3DGS basis (ops/sh.py evaluates
+            # it directly) — f_dc is the raw degree-0 coefficient.
+            k_rest = 15 if n_rest >= 45 else 8
+            r = rest[:, : 3 * k_rest].reshape(n, 3, k_rest).transpose(0, 2, 1)
+            f_dc = get([f"f_dc_{i}" for i in range(3)])
+            sh = np.concatenate([f_dc[:, None, :], r], axis=1
+                                ).astype(np.float32)
+        elif n_rest >= 9 and np.abs(rest[:, :9]).max() > 0:
+            # Degree 1: invert into the reference-linear convention.
             r9 = rest[:, :9].reshape(n, 3, 3).transpose(0, 2, 1)  # (N,3coef,3ch)
             c1y = -r9[:, 0, :] * SH_C1
             c1z = r9[:, 1, :] * SH_C1

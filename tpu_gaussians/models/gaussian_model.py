@@ -91,12 +91,16 @@ jax.tree_util.register_dataclass(
 
 def init_params(
     key: Array, num_gaussians: int, capacity: int, use_sh: bool = False,
-    use_quats: bool = False,
+    use_quats: bool = False, sh_degree: int = 1,
 ) -> RawParams:
     """Random init matching the reference distributions, padded to capacity.
 
     Rows [0, num_gaussians) are alive; the rest are zero-initialized dead
     capacity for future densification.
+
+    sh_degree (with use_sh): 1 -> (C,4,3) reference convention; 2/3 ->
+    (C,9|16,3) standard 3DGS real SH, dc initialized so the degree-0
+    color matches the reference's 0.1*U(0,1) init.
     """
     if num_gaussians > capacity:
         raise ValueError(f"num_gaussians {num_gaussians} > capacity {capacity}")
@@ -117,10 +121,14 @@ def init_params(
         quats_raw = jnp.zeros((c, 4), jnp.float32).at[:, 0].set(1.0)
 
     if use_sh:
-        sh_raw = jnp.zeros((c, 4, 3), jnp.float32)
-        sh_raw = sh_raw.at[:num_gaussians, 0, :].set(
-            0.1 * jax.random.uniform(k_col, (num_gaussians, 3))
-        )
+        from tpu_gaussians.ops.sh import SH_C0, sh_bands
+
+        bands = sh_bands(sh_degree)
+        dc = 0.1 * jax.random.uniform(k_col, (num_gaussians, 3))
+        if bands > 4:  # 3DGS convention: color = 0.5 + C0 * dc
+            dc = (dc - 0.5) / SH_C0
+        sh_raw = jnp.zeros((c, bands, 3), jnp.float32)
+        sh_raw = sh_raw.at[:num_gaussians, 0, :].set(dc)
         return RawParams(means=means, scales_raw=scales_raw,
                          opacities_raw=opacities_raw, sh_raw=sh_raw,
                          alive=alive, quats_raw=quats_raw)

@@ -28,6 +28,8 @@ class FitConfig:
 
     # Appearance (:215)
     use_sh: bool = False
+    sh_degree: int = 1  # 1 = reference SH convention; 2/3 = 3DGS real SH
+                        # (TPU-native extension, ops/sh.py)
 
     # Densify / prune (:217-220)
     densify_interval: int = 80
