@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--densify_ratio", type=float, default=d.densify_ratio)
     ap.add_argument("--prune_opacity", type=float, default=d.prune_opacity)
 
+    ap.add_argument("--ssim_weight", type=float, default=d.ssim_weight,
+                    help="3DGS-style D-SSIM loss weight (extension; "
+                         "0 = reference L1-only)")
     ap.add_argument("--silhouette_weight", type=float, default=d.silhouette_weight)
     ap.add_argument("--mask_thresh", type=float, default=d.mask_thresh)
     ap.add_argument("--depth_weight", type=float, default=d.depth_weight)

@@ -32,16 +32,19 @@ from tpu_gaussians.ops.dispatch import render_accum
 @dataclass(frozen=True)
 class LossConfig:
     """Loss weights; defaults match the reference CLI
-    (fit_multiview_stub.py:222-227)."""
+    (fit_multiview_stub.py:222-227). ssim_weight is a TPU-native
+    extension (the 3DGS training recipe's D-SSIM term; the reference is
+    L1-only) — 0.0 keeps exact reference semantics."""
 
     silhouette_weight: float = 0.2
     depth_weight: float = 0.05
     reg_opacity: float = 0.001
     reg_scale: float = 0.001
+    ssim_weight: float = 0.0
 
     def __hash__(self):
         return hash((self.silhouette_weight, self.depth_weight,
-                     self.reg_opacity, self.reg_scale))
+                     self.reg_opacity, self.reg_scale, self.ssim_weight))
 
 
 def loss_fn(
@@ -69,6 +72,11 @@ def loss_fn(
         sil = jnp.mean(jnp.abs(alpha - masks), axis=(1, 2))
         per_view = per_view + loss_config.silhouette_weight * sil
 
+    ssim_v = jnp.zeros_like(recon)
+    if loss_config.ssim_weight > 0.0:
+        ssim_v = ssim(pred, targets)                       # (V,)
+        per_view = per_view + loss_config.ssim_weight * (1.0 - ssim_v)
+
     dl = jnp.zeros_like(recon)
     if depths is not None and loss_config.depth_weight > 0.0:
         d_max = jnp.max(depth, axis=(1, 2), keepdims=True)
@@ -92,6 +100,7 @@ def loss_fn(
         "depth": jnp.mean(dl),
         "reg": reg,
         "psnr": psnr(pred, targets),
+        "ssim": jnp.mean(ssim_v),
         "n_alive": n_alive,
     }
     return loss, metrics
@@ -100,3 +109,47 @@ def loss_fn(
 def psnr(pred: Array, target: Array) -> Array:
     mse = jnp.mean((pred - target) ** 2)
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+
+def _gauss_kernel(size: int = 11, sigma: float = 1.5) -> Array:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _blur(x: Array, k: Array) -> Array:
+    """Separable gaussian filter over (B, H, W), VALID padding."""
+    size = k.shape[0]
+    kh = k.reshape(1, 1, size, 1)
+    kw = k.reshape(1, 1, 1, size)
+    x = x[:, None, :, :]                                   # NCHW, C=1
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
+                                        ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                     dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
+                                     dimension_numbers=dn)
+    return x[:, 0, :, :]
+
+
+def ssim(pred: Array, target: Array, size: int = 11,
+         sigma: float = 1.5) -> Array:
+    """Per-view SSIM of (V, H, W, 3) batches (standard 11x11 gaussian
+    window, C1/C2 for unit dynamic range). Differentiable; used as the
+    3DGS-style D-SSIM loss term and by the eval CLI."""
+    v = pred.shape[0]
+    k = _gauss_kernel(size, sigma)
+    # channels into the batch axis: (V*3, H, W)
+    p = pred.transpose(0, 3, 1, 2).reshape(-1, *pred.shape[1:3])
+    t = target.transpose(0, 3, 1, 2).reshape(-1, *target.shape[1:3])
+
+    mu_p = _blur(p, k)
+    mu_t = _blur(t, k)
+    mu_pp = _blur(p * p, k) - mu_p * mu_p
+    mu_tt = _blur(t * t, k) - mu_t * mu_t
+    mu_pt = _blur(p * t, k) - mu_p * mu_t
+
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    s = ((2 * mu_p * mu_t + c1) * (2 * mu_pt + c2)) / (
+        (mu_p * mu_p + mu_t * mu_t + c1) * (mu_pp + mu_tt + c2))
+    return jnp.mean(s.reshape(v, -1), axis=1)              # (V,)

@@ -95,6 +95,7 @@ def fit(
         depth_weight=config.depth_weight,
         reg_opacity=config.reg_opacity,
         reg_scale=config.reg_scale,
+        ssim_weight=getattr(config, "ssim_weight", 0.0),
     )
     densify_config = DensifyConfig(
         densify_interval=config.densify_interval,

@@ -43,6 +43,7 @@ class FitConfig:
     depth_weight: float = 0.05
     reg_opacity: float = 0.001
     reg_scale: float = 0.001
+    ssim_weight: float = 0.0  # 3DGS-style D-SSIM term (extension; 0 = ref)
 
     # --- TPU-native extensions (no reference counterpart) ---
     seed: int = 0
