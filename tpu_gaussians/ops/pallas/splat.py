@@ -271,6 +271,12 @@ def _pack_gdata(px, py, ca, cb, cc, op, feats):
     return jnp.stack(rows, axis=0)
 
 
+def _scale_conic(ca, cb, cc):
+    """Pre-scale conics for the v2 kernels' bare polynomial
+    e = a'*dx^2 + b'*dxy + c'*dy^2 (a' = -a/2, b' = -b, c' = -c/2)."""
+    return -0.5 * ca, -cb, -0.5 * cc
+
+
 def _v2_pixel_coords(i, tp: int, width: int):
     base = i * tp
     idx = base + jax.lax.broadcasted_iota(jnp.int32, (tp, 1), dimension=0)
@@ -281,6 +287,9 @@ def _v2_pixel_coords(i, tp: int, width: int):
 
 def _fwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, acc_ref, *, width: int,
                    tp: int, nb: int):
+    # gdata conic rows arrive PRE-SCALED (a' = -a/2, b' = -b, c' = -c/2,
+    # see _scale_conic) so e is a bare 3-term polynomial — no in-loop
+    # constant multiplies.
     i = pl.program_id(0)
     gx, gy = _v2_pixel_coords(i, tp, width)
 
@@ -293,9 +302,9 @@ def _fwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, acc_ref, *, width: int,
         gd = gdata_ref[:, pl.ds(b, nb)]            # (GD_ROWS, nb)
         dx = gx - gd[0:1, :]                       # (TP, NB2)
         dy = gy - gd[1:2, :]
-        e = -0.5 * (gd[2:3, :] * dx * dx
-                    + 2.0 * gd[3:4, :] * dx * dy
-                    + gd[4:5, :] * dy * dy)
+        e = (gd[2:3, :] * (dx * dx)
+             + gd[3:4, :] * (dx * dy)
+             + gd[4:5, :] * (dy * dy))
         w = gd[5:6, :] * jnp.exp(e)                # (TP, NB2)
         feats8 = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]  # (8, NB2)
         # acc[f, p] += sum_i feats8[f, i] * w[p, i]  — (8, TP) keeps the
@@ -348,14 +357,14 @@ def _bwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, g8_ref, out_ref,
     def body(k, carry):
         b = pl.multiple_of((lo + k) * nb, nb)
         gd = gdata_ref[:, pl.ds(b, nb)]            # (GD_ROWS, nb)
-        ca = gd[2:3, :]
-        cb = gd[3:4, :]
-        cc = gd[4:5, :]
         dx = gx - gd[0:1, :]                       # (TP, NB2)
         dy = gy - gd[1:2, :]
-        e = -0.5 * (ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy)
-        exp_e = jnp.exp(e)
-        w = gd[5:6, :] * exp_e
+        # Monomials materialized once; reused by e AND the conic moments.
+        dx2 = dx * dx
+        dxy = dx * dy
+        dy2 = dy * dy
+        e = gd[2:3, :] * dx2 + gd[3:4, :] * dxy + gd[4:5, :] * dy2
+        w = gd[5:6, :] * jnp.exp(e)
         feats8 = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]  # (8, NB2)
 
         g_acc = g8_ref[:]                          # (FEAT_PAD, TP)
@@ -370,16 +379,21 @@ def _bwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, g8_ref, out_ref,
             preferred_element_type=jnp.float32, precision="highest",
         )                                          # (FEAT_PAD, NB2)
 
+        # Raw per-gaussian moments of g_e = w * g_w; the chain-rule
+        # constants (conic coefficients, -1/2 scales, 1/op for g_op) are
+        # applied OUTSIDE the kernel in O(N) (_splat_bwd): g_px = a*Mdx +
+        # b*Mdy, g_ca = -Mxx/2, g_op = M0/op, etc. — this keeps the
+        # O(N*HW) inner loop at the bare minimum of multiplies.
         g_e = w * g_w
-        g_op = jnp.sum(exp_e * g_w, axis=0, keepdims=True)   # (1, NB2)
-        g_px = jnp.sum(g_e * (ca * dx + cb * dy), axis=0, keepdims=True)
-        g_py = jnp.sum(g_e * (cb * dx + cc * dy), axis=0, keepdims=True)
-        g_ca = jnp.sum(g_e * (-0.5) * dx * dx, axis=0, keepdims=True)
-        g_cb = jnp.sum(g_e * (-1.0) * dx * dy, axis=0, keepdims=True)
-        g_cc = jnp.sum(g_e * (-0.5) * dy * dy, axis=0, keepdims=True)
+        m0 = jnp.sum(g_e, axis=0, keepdims=True)             # (1, NB2)
+        mdx = jnp.sum(g_e * dx, axis=0, keepdims=True)
+        mdy = jnp.sum(g_e * dy, axis=0, keepdims=True)
+        mxx = jnp.sum(g_e * dx2, axis=0, keepdims=True)
+        mxy = jnp.sum(g_e * dxy, axis=0, keepdims=True)
+        myy = jnp.sum(g_e * dy2, axis=0, keepdims=True)
 
         contrib = jnp.concatenate(
-            [g_px, g_py, g_ca, g_cb, g_cc, g_op, g_feat,
+            [mdx, mdy, mxx, mxy, myy, m0, g_feat,
              jnp.zeros((GD_ROWS - 6 - FEAT_PAD, nb), jnp.float32)],
             axis=0,
         )                                          # (GD_ROWS, nb)
@@ -553,8 +567,9 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width):
         mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
                                 hw_pad2 // TP2, TP2, nb2, width)
         lo, cnt = _block_ranges(mask)
-        gdata = _pack_gdata(px_p[:, 0], py_p[:, 0], ca_p[:, 0], cb_p[:, 0],
-                            cc_p[:, 0], op_p[:, 0], feats_p)
+        sa, sb, sc = _scale_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
+        gdata = _pack_gdata(px_p[:, 0], py_p[:, 0], sa, sb, sc,
+                            op_p[:, 0], feats_p)
         acc8 = _fwd_call_v2(lo, cnt, gdata, hw_pad2, width, nb2)
         acc = acc8[:FEAT_DIM, :hw].T
     else:
@@ -589,11 +604,26 @@ def _splat_bwd(height, width, residuals, g):
         mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
                                 hw_pad2 // TP2, TP2, nb2, width)
         lo, cnt = _block_ranges(mask)
-        gdata = _pack_gdata(px_p[:, 0], py_p[:, 0], ca_p[:, 0], cb_p[:, 0],
-                            cc_p[:, 0], op_p[:, 0], feats_p)
+        sa, sb, sc = _scale_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
+        gdata = _pack_gdata(px_p[:, 0], py_p[:, 0], sa, sb, sc,
+                            op_p[:, 0], feats_p)
         g8_2 = jnp.pad(g, ((0, hw_pad2 - hw), (0, FEAT_PAD - FEAT_DIM))).T
         outT = _bwd_call_v2(lo, cnt, gdata, g8_2, hw_pad2, width, nb2)
-        out = outT.T                                  # (n_pad2, GD_ROWS)
+        out = outT.T[:n]        # rows [Mdx, Mdy, Mxx, Mxy, Myy, M0, g_feat]
+        mdx, mdy = out[:, 0], out[:, 1]
+        mxx, mxy, myy, m0 = out[:, 2], out[:, 3], out[:, 4], out[:, 5]
+        # O(N) chain-rule post-pass (constants factored out of the kernel):
+        # de/dpx = a dx + b dy ; de/da = -dx^2/2 ; w = op * exp(e).
+        g_px = ca * mdx + cb * mdy
+        g_py = cb * mdx + cc * mdy
+        g_ca = -0.5 * mxx
+        g_cb = -mxy
+        g_cc = -0.5 * myy
+        # M0 = sum w*g_w = op * sum exp_e*g_w; rows with op == 0 receive 0
+        # here (their true cotangent is masked upstream by valid*alive).
+        g_op = jnp.where(op > 0, m0 / jnp.where(op > 0, op, 1.0), 0.0)
+        g_feats = out[:, 6 : 6 + FEAT_DIM]
+        return g_px, g_py, g_ca, g_cb, g_cc, g_op, g_feats
     else:
         gT = jnp.pad(g, ((0, hw_pad - hw), (0, FEAT_PAD - FEAT_DIM)))
         g8 = gT.T                                     # (8, hw_pad)
