@@ -147,32 +147,79 @@ def fit(
         state = jax.device_put(state, replicated(mesh))
         print(f"Sharding {v} views over {n_shards} devices")
     else:
-        step_fn = make_train_step(tx, render_config, loss_config,
-                                  has_masks, has_depths)
+        step_fn = None  # unsharded path runs segment-fused (below)
 
-    # Per-step metrics stay ON DEVICE; host fetches happen only at log
-    # points and at the end. (Each device->host fetch costs a full relay
-    # round trip — fetching the loss every step would dominate wall-clock.)
-    device_metrics = []
+    # Segment fusion: steps between host events (log / densify / prune /
+    # checkpoint) run inside ONE on-device fori_loop with a dynamic trip
+    # count — one executable serves every segment length, and per-step
+    # metrics land in a device-resident (MAX_SEG, K) buffer fetched only
+    # at the end. This removes the per-step dispatch round trip entirely
+    # (the reference dispatches eagerly per op, fit_multiview_stub.py:265).
+    METRIC_KEYS = ("loss", "recon", "silhouette", "depth", "reg", "psnr",
+                   "ssim", "n_alive", "grad_norm_mean")
+    MAX_SEG = 256
+
+    if n_shards == 1:
+        inner = make_train_step(tx, render_config, loss_config,
+                                has_masks, has_depths, jit=False)
+
+        def multi(st, cams_a, t_a, m_a, d_a, k):
+            def body(i, carry):
+                s, buf = carry
+                s2, metrics = inner(s, cams_a, t_a, m_a, d_a)
+                row = jnp.stack([metrics[mk].astype(jnp.float32)
+                                 for mk in METRIC_KEYS])
+                return (s2, jax.lax.dynamic_update_index_in_dim(
+                    buf, row, i, 0))
+            buf0 = jnp.zeros((MAX_SEG, len(METRIC_KEYS)), jnp.float32)
+            return jax.lax.fori_loop(0, k, body, (st, buf0))
+
+        multi_jit = jax.jit(multi, donate_argnums=(0,))
+
+    def next_event(it: int) -> int:
+        nxt = config.iters
+        for interval in (config.log_every, config.densify_interval,
+                         config.prune_interval, config.checkpoint_every):
+            if interval and interval > 0:
+                nxt = min(nxt, ((it // interval) + 1) * interval)
+        return nxt
+
+    seg_bufs = []  # [(buf (MAX_SEG, K) device array, seg_len)]
     t0 = time.perf_counter()
     last_log_t, last_log_it = t0, start_iter
-    for it in range(start_iter, config.iters):
-        state, metrics = step_fn(state, cameras, targets_j, masks_j, depths_j)
-        device_metrics.append(metrics)
+    it = start_iter
+    while it < config.iters:
+        if n_shards == 1:
+            # First step runs alone so the reference's iter-1 log line
+            # still appears (fit_multiview_stub.py:313-316).
+            seg = 1 if it == start_iter else min(next_event(it) - it, MAX_SEG)
+            state, buf = multi_jit(state, cameras, targets_j, masks_j,
+                                   depths_j, seg)
+        else:
+            seg = 1
+            state, metrics = step_fn(state, cameras, targets_j, masks_j,
+                                     depths_j)
+            buf = jnp.stack([metrics[mk].astype(jnp.float32)
+                             for mk in METRIC_KEYS])[None, :]
+        seg_bufs.append((buf, seg))
+        it += seg
 
-        if it == 0 or (it + 1) % config.log_every == 0:
-            lv = float(metrics["loss"])
-            n = int(metrics["n_alive"])
+        if it == start_iter + 1 or (config.log_every > 0
+                                    and it % config.log_every == 0):
+            lv = float(buf[seg - 1, 0])
+            n = int(buf[seg - 1, METRIC_KEYS.index("n_alive")])
             now = time.perf_counter()
-            steps = max(it + 1 - last_log_it, 1)
+            steps = max(it - last_log_it, 1)
             rate = v * config.width * config.height * steps / max(
                 now - last_log_t, 1e-9)
-            last_log_t, last_log_it = now, it + 1
-            print(f"iter {it+1:4d}  loss={lv:.6f}  N={n}  "
+            last_log_t, last_log_it = now, it
+            print(f"iter {it:4d}  loss={lv:.6f}  N={n}  "
                   f"{rate/1e6:.1f} Mpix/s")
 
-        densify_fires = (it + 1) % config.densify_interval == 0
-        prune_fires = (it + 1) % config.prune_interval == 0
+        densify_fires = (config.densify_interval > 0
+                         and it % config.densify_interval == 0)
+        prune_fires = (config.prune_interval > 0
+                       and it % config.prune_interval == 0)
         if densify_fires or prune_fires:
             key, k_d = jax.random.split(key)
             ratio = config.densify_ratio if densify_fires else 0.0
@@ -184,27 +231,26 @@ def fit(
             state = init_state(new_raw, tx)  # fresh Adam, :325
 
         if (checkpointer is not None and config.checkpoint_every > 0
-                and (it + 1) % config.checkpoint_every == 0):
-            checkpointer.save(it + 1, state, key)
+                and it % config.checkpoint_every == 0):
+            checkpointer.save(it, state, key)
 
     jax.block_until_ready(state.raw.means)
     wall = time.perf_counter() - t0
 
     # One batched fetch of the whole metrics history.
-    if device_metrics:
-        stacked = {
-            k: np.asarray(jnp.stack([m[k] for m in device_metrics]))
-            for k in device_metrics[0]
-        }
+    if seg_bufs:
+        hist = np.concatenate(
+            [np.asarray(buf)[:seg] for buf, seg in seg_bufs], axis=0)
+        stacked = {mk: hist[:, i] for i, mk in enumerate(METRIC_KEYS)}
     else:
         stacked = {"loss": np.zeros((0,), np.float32)}
     loss_log = [float(v) for v in stacked["loss"]]
 
-    if out_dir is not None and config.metrics_jsonl and device_metrics:
+    if out_dir is not None and config.metrics_jsonl and seg_bufs:
         out_dir.mkdir(parents=True, exist_ok=True)
         mode = "a" if start_iter > 0 else "w"
         with (out_dir / "metrics.jsonl").open(mode) as metrics_file:
-            for i in range(len(device_metrics)):
+            for i in range(len(loss_log)):
                 metrics_file.write(json.dumps(
                     {"step": start_iter + i + 1,
                      **{k: float(stacked[k][i]) for k in stacked}}
