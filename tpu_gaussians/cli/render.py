@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--impl", choices=["auto", "jnp", "pallas"], default="auto")
     ap.add_argument("--background", type=float, nargs=3,
                     default=[0.02, 0.02, 0.02])
+    ap.add_argument("--shard_bands", type=int, default=0,
+                    help="Shard each frame's rows over this many devices "
+                         "(0 = single-device render)")
     return ap
 
 
@@ -70,10 +73,23 @@ def main(argv=None) -> None:
 
     from tpu_gaussians.core.types import Camera
 
-    # jit: eager per-op dispatch is very slow on remote-compile runtimes.
-    images = jax.jit(
-        lambda gg, view, proj: render(gg, Camera(view=view, proj=proj), config)
-    )(g, cameras.view, cameras.proj)
+    if args.shard_bands > 0:
+        from tpu_gaussians.parallel.tiled import render_tiled
+
+        views = cameras.view if cameras.batched else cameras.view[None]
+        projs = cameras.proj if cameras.batched else cameras.proj[None]
+        images = np.stack([
+            np.asarray(render_tiled(
+                g, Camera(view=views[i], proj=projs[i]), config,
+                n_devices=args.shard_bands))
+            for i in range(views.shape[0])
+        ])
+    else:
+        # jit: eager per-op dispatch is very slow on remote-compile runtimes.
+        images = jax.jit(
+            lambda gg, view, proj: render(gg, Camera(view=view, proj=proj),
+                                          config)
+        )(g, cameras.view, cameras.proj)
     if images.ndim == 3:
         images = images[None]
     for i in range(images.shape[0]):

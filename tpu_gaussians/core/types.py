@@ -146,6 +146,9 @@ class RenderConfig:
     return_aux: bool = False  # also return (alpha, depth)
     sorted_band_capacity: int = 0  # pallas sorted: per-band list capacity
                                    # (0 = auto; overflow drops farthest)
+    proj_height: int = 0  # full-frame height when rendering a row window
+                          # of a taller frame (parallel/tiled.py); 0 =
+                          # height (normal full-frame rendering)
 
     def __post_init__(self):
         if self.mode not in ("accum", "sorted"):
@@ -162,6 +165,11 @@ class RenderConfig:
 
     def background_array(self) -> Array:
         return jnp.asarray(self.background, dtype=jnp.float32)
+
+    def full_height(self) -> int:
+        """Height of the frame the camera projects to (== height except
+        when rendering a row window of a taller frame)."""
+        return self.proj_height if self.proj_height > 0 else self.height
 
 
 def _check_f32(name: str, x, shape_desc: str) -> None:

@@ -35,11 +35,22 @@ def _resolve_impl(impl: str) -> str:
 
 
 def render_accum(
-    g: Gaussians, view: Array, proj: Array, config: RenderConfig
+    g: Gaussians, view: Array, proj: Array, config: RenderConfig,
+    row0: Union[Array, float, None] = None,
 ) -> Tuple[Array, Array, Array]:
-    """Weighted-average mode -> (image, alpha, depth). Differentiable."""
-    s = prepare_splats(g, view, proj, config.width, config.height,
+    """Weighted-average mode -> (image, alpha, depth). Differentiable.
+
+    row0 (optional, traced ok): render the row window [row0, row0 +
+    config.height) of the full frame the camera was built for — weights
+    depend only on gy - py, so shifting py is exact (parallel/tiled.py).
+    Projection and sigmas must be computed against the FULL frame height,
+    so the camera/proj stay those of the full frame; config.height is the
+    WINDOW height.
+    """
+    s = prepare_splats(g, view, proj, config.width, config.full_height(),
                        footprint=config.footprint)
+    if row0 is not None:
+        s = s._replace(py=s.py - row0)
     impl = _resolve_impl(config.impl)
     if impl == "pallas":
         from tpu_gaussians.ops.pallas import splat as pallas_splat
@@ -57,16 +68,19 @@ def render_accum(
 
 
 def render_sorted(
-    g: Gaussians, view: Array, proj: Array, config: RenderConfig
+    g: Gaussians, view: Array, proj: Array, config: RenderConfig,
+    row0: Union[Array, float, None] = None,
 ) -> Tuple[Array, Array]:
     """Depth-sorted front-to-back mode -> (image, alpha).
 
     The pallas path is forward-only (the reference's depth-sorted path is
     also forward-only, renderer_cpu.cpp:125-217); use impl="jnp" when
-    differentiating through sorted compositing.
+    differentiating through sorted compositing. row0: see render_accum.
     """
-    s = prepare_splats(g, view, proj, config.width, config.height,
+    s = prepare_splats(g, view, proj, config.width, config.full_height(),
                        footprint=config.footprint)
+    if row0 is not None:
+        s = s._replace(py=s.py - row0)
     z = camera_z(g.means, view)
     if _resolve_impl(config.impl) == "pallas":
         from tpu_gaussians.ops.pallas import sorted as pallas_sorted
