@@ -102,7 +102,7 @@ def main():
         dead = jnp.zeros((1, srt.GD_ROWS), jnp.float32)
         dead = dead.at[0, 2].set(1.0).at[0, 4].set(1.0)
         gdataT = jnp.concatenate([gdataT, dead], axis=0)
-        return gdataT[sl].T
+        return gdataT[sl]
     results["gdense_build"] = timeit(jax.jit(f_gd), (s, slots))
 
     gdense = jax.jit(f_gd)(s, slots)
@@ -119,8 +119,8 @@ def main():
             grid=(n_tiles, chunks),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((srt.GD_ROWS, srt.NBS),
-                             lambda i, j: (0, i * chunks + j),
+                pl.BlockSpec((srt.NBS, srt.GD_ROWS),
+                             lambda i, j: (i * chunks + j, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((srt.FEAT_PAD, srt.TPS),

@@ -22,11 +22,14 @@ a monotone integer transform of the -z float bits, and the index key
 reproduces the stable tie-break of `argsort(-z)`, so the composite order
 is bit-identical to the jnp oracle. Per-tile dense, depth-ordered lists
 are then materialized by *gather* (position arithmetic from searchsorted
-offsets — no scatter). The kernel grid is (tiles x chunks): chunks
-stream through VMEM via BlockSpec auto-DMA; per-tile running
-transmittance lives in VMEM scratch ((1, TP) lane-dense), with
-within-chunk ordering via an exclusive cumulative product of (1 - a)
-along lanes, and a whole-chunk transmittance early-exit (skip once
+offsets — no scatter; the row-major gathered lists feed the kernel
+directly, gaussians on sublanes / pixels on lanes, no transpose). The
+kernel grid is (tiles x chunks): chunks stream through VMEM via
+BlockSpec auto-DMA; per-tile running transmittance lives in VMEM
+scratch ((1, TP) lane-dense), with within-chunk ordering via an
+exclusive cumulative product of (1 - a) along the gaussian (sublane)
+axis in 128-row sub-blocks, and a whole-chunk transmittance early-exit
+(skip once
 max T < 1e-6 — the TPU analog of the reference's per-pixel T <= 1e-4
 break, renderer.cu:251-252, but tightened so the approximation error is
 below float tolerance).
@@ -84,19 +87,19 @@ def _k_pairs(n: int) -> int:
     return int(min(K_MAX, max(K_MIN, PAIR_BUDGET // max(n, 1))))
 
 
-def _exclusive_cumprod_lanes(x: Array) -> Array:
-    """Exclusive cumulative product along axis 1 (lanes) of (TP, NB).
+def _exclusive_cumprod(x: Array, axis: int) -> Array:
+    """Exclusive cumulative product along `axis` of a 2D tile.
 
-    log2(NB) shift-and-multiply doubling steps (Mosaic-friendly; avoids a
-    serial scan). exclusive: col i gets prod(x[..0..i-1]), col 0 gets 1.
+    log2(n) shift-and-multiply doubling steps (Mosaic-friendly; avoids a
+    serial scan). exclusive: index i gets prod(x[0..i-1]), index 0 gets 1.
     """
-    nb = x.shape[1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    y = jnp.where(cols >= 1, pltpu.roll(x, shift=1, axis=1), 1.0)
+    n = x.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    y = jnp.where(idx >= 1, pltpu.roll(x, shift=1, axis=axis), 1.0)
     shift = 1
-    while shift < nb:
-        rolled = jnp.where(cols >= shift, pltpu.roll(y, shift=shift, axis=1),
-                           1.0)
+    while shift < n:
+        rolled = jnp.where(idx >= shift,
+                           pltpu.roll(y, shift=shift, axis=axis), 1.0)
         y = y * rolled
         shift *= 2
     return y
@@ -126,37 +129,40 @@ def _sorted_kernel(cnt_ref, gdense_ref, acc_ref, rgbw_ref, trans_ref,
     def _():
         ty = i // tiles_x
         tx = i % tiles_x
-        pix = jax.lax.broadcasted_iota(jnp.int32, (TPS, 1), dimension=0)
-        gx = (tx * TWC + pix % TWC).astype(jnp.float32) + 0.5   # (TP, 1)
+        pix = jax.lax.broadcasted_iota(jnp.int32, (1, TPS), dimension=1)
+        gx = (tx * TWC + pix % TWC).astype(jnp.float32) + 0.5   # (1, TP)
         gy = (ty * TH + pix // TWC).astype(jnp.float32) + 0.5
 
-        gd = gdense_ref[:]                      # (GD_ROWS, NBS)
-        dx = gx - gd[0:1, :]                    # (TP, NBS)
-        dy = gy - gd[1:2, :]
-        e = -0.5 * (gd[2:3, :] * dx * dx
-                    + 2.0 * gd[3:4, :] * dx * dy
-                    + gd[4:5, :] * dy * dy)
-        a = gd[5:6, :] * jnp.exp(e)
-        a = jnp.where(a < ALPHA_CUTOFF, 0.0, jnp.clip(a, 0.0, 1.0))
-
-        feats8 = gd[6:14, :]                     # (8, NBS) [r,g,b,1,z,...]
         trans = trans_ref[:]                     # (1, TP)
         rgbw = rgbw_ref[:]
-        # Sub-blocked ordered merge: the exclusive lane-cumprod costs
-        # log2(width) roll+select+mul passes over the whole tile, so four
-        # 128-lane cumprods (7 passes each on 1/4 the data) beat one
-        # 512-lane cumprod (9 passes on all of it) ~2.6x; ordering across
-        # sub-blocks is carried by the running transmittance.
+        # Gaussians on SUBLANES, pixels on LANES: the gdense chunk arrives
+        # row-major (NBS, 16) straight from the slot gather — no host-side
+        # transpose of the dense lists is needed.
+        #
+        # Sub-blocked ordered merge: the exclusive cumprod costs log2(n)
+        # roll+select+mul passes over the whole tile, so four 128-row
+        # cumprods (7 passes each on 1/4 the data) beat one 512-row
+        # cumprod (9 passes on all of it) ~2.6x; ordering across
+        # sub-blocks is carried by the running transmittance. Each
+        # sub-block is read straight from the ref (Mosaic cannot
+        # sublane-slice large vector values).
         sub = NBS // 4
         for sb in range(4):
-            sl = slice(sb * sub, (sb + 1) * sub)
-            a_s = a[:, sl]                       # (TP, sub)
-            contrib = _exclusive_cumprod_lanes(1.0 - a_s) * a_s
-            # block[f, p] = sum_i feats8[f, i] * contrib[p, i]; row 3 of
+            gd = gdense_ref[sb * sub:(sb + 1) * sub, :]  # (sub, GD_ROWS)
+            dx = gx - gd[:, 0:1]                 # (sub, TP)
+            dy = gy - gd[:, 1:2]
+            e = -0.5 * (gd[:, 2:3] * dx * dx
+                        + 2.0 * gd[:, 3:4] * dx * dy
+                        + gd[:, 4:5] * dy * dy)
+            a_s = gd[:, 5:6] * jnp.exp(e)
+            a_s = jnp.where(a_s < ALPHA_CUTOFF, 0.0, jnp.clip(a_s, 0.0, 1.0))
+            contrib = _exclusive_cumprod(1.0 - a_s, axis=0) * a_s
+            feats = gd[:, 6:14]                  # (sub, 8) [r,g,b,1,z,...]
+            # block[f, p] = sum_i feats[i, f] * contrib[i, p]; column 3 of
             # feats is the constant 1, so block[3] is the sub-alpha free.
             block = jax.lax.dot_general(
-                feats8[:, sl], contrib,
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                feats, contrib,
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision="highest",
             )                                    # (8, TP) lane-dense
             rgbw = rgbw + trans * block
@@ -287,7 +293,7 @@ def sorted_composite_pallas(
     dead = dead.at[0, 2].set(1.0).at[0, 4].set(1.0)       # identity conic
     gdataT = jnp.concatenate([gdataT, dead], axis=0)      # (n+1, 16)
 
-    gdense = gdataT[slots].T                              # (16, tiles*cap)
+    gdense = gdataT[slots]                                # (tiles*cap, 16)
 
     acc = pl.pallas_call(
         functools.partial(_sorted_kernel, tiles_x=tiles_x,
@@ -295,8 +301,8 @@ def sorted_composite_pallas(
         grid=(n_tiles, chunks_per_tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # cnt
-            pl.BlockSpec((GD_ROWS, NBS),
-                         lambda i, j: (0, i * chunks_per_tile + j),
+            pl.BlockSpec((NBS, GD_ROWS),
+                         lambda i, j: (i * chunks_per_tile + j, 0),
                          memory_space=pltpu.VMEM),    # gdense chunk
         ],
         out_specs=pl.BlockSpec((FEAT_PAD, TPS), lambda i, j: (0, i),
