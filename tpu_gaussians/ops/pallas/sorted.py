@@ -274,7 +274,13 @@ def sorted_composite_pallas(
     n_tiles = tiles_x * tiles_y
 
     if band_capacity <= 0:
-        band_capacity = min(_round_up(n, NBS), max(4096, NBS))
+        # Per-tile list budget. Overflow drops the FARTHEST entries, and
+        # the kernel's transmittance early-exit makes anything behind a
+        # few hundred near-opaque splats invisible anyway; 2048 is
+        # lossless for small/medium scenes (cap >= n) and visually
+        # lossless for dense ones. Raise via RenderConfig
+        # sorted_band_capacity for extreme translucent stacking.
+        band_capacity = min(_round_up(n, NBS), max(2048, NBS))
     band_capacity = _round_up(band_capacity, NBS)
     chunks_per_tile = band_capacity // NBS
 
