@@ -178,12 +178,16 @@ def _sorted_kernel(cnt_ref, gdense_ref, acc_ref, rgbw_ref, trans_ref,
 
 
 def _tile_rects(px, py, sigma_x, sigma_y, op_eff,
-                tiles_x: int, tiles_y: int, k: int):
+                tiles_x: int, tiles_y: int, k: int,
+                width: int, height: int):
     """Per-gaussian overlapped-tile rectangle (k-budgeted).
 
     Extent radius from the alpha cutoff (exact w.r.t. the reference's own
     a < 1e-5 drop); when the rect exceeds the k budget it is shrunk
-    re-centered on the gaussian so the hottest tiles are kept.
+    re-centered on the gaussian so the hottest tiles are kept. Gaussians
+    whose extent misses the screen entirely (off-screen; the reference
+    evaluates them to ~0 per pixel) get count=0 so they neither consume
+    per-tile capacity nor kernel work.
     Returns (tx_lo, ty_lo, kx, ky, count) int32 arrays.
     """
     r = jnp.sqrt(2.0 * jnp.log(
@@ -191,6 +195,9 @@ def _tile_rects(px, py, sigma_x, sigma_y, op_eff,
     dead = op_eff <= ALPHA_CUTOFF
     rx = r * sigma_x + 1.0
     ry = r * sigma_y + 1.0
+
+    offscreen = ((px + rx) < 0.0) | ((px - rx) >= width) \
+        | ((py + ry) < 0.0) | ((py - ry) >= height)
 
     tx_lo = jnp.clip(jnp.floor((px - rx) / TWC), 0, tiles_x - 1
                      ).astype(jnp.int32)
@@ -212,61 +219,134 @@ def _tile_rects(px, py, sigma_x, sigma_y, op_eff,
     tx_lo = jnp.clip(txc - (kx_c - 1) // 2, tx_lo, tx_hi - kx_c + 1)
     ty_lo = jnp.clip(tyc - (ky_c - 1) // 2, ty_lo, ty_hi - ky_c + 1)
 
-    count = jnp.where(dead, 0, kx_c * ky_c).astype(jnp.int32)
+    count = jnp.where(dead | offscreen, 0, kx_c * ky_c).astype(jnp.int32)
     return tx_lo, ty_lo, kx_c, count
 
 
+CHUNK_TARGET = 16384  # pair-sort chunk length target (chunked sorts are
+                      # ~5x cheaper than one monolithic 12M-pair sort on
+                      # TPU — see bench/micro_primitives.py). The actual
+                      # chunk length is rounded to a whole number of
+                      # gaussians (M*K) so per-chunk tile histograms can
+                      # be computed per GAUSSIAN as separable-rect
+                      # matmuls instead of per pair.
+
+
 def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
-                  tiles_x: int, tiles_y: int, cap: int):
-    """Duplicate gaussians into overlapped tiles, depth-order + tile-group
-    with ONE lax.sort, and gather dense per-tile lists.
+                  tiles_x: int, tiles_y: int, cap: int,
+                  width: int, height: int):
+    """Duplicate gaussians into overlapped tiles and build dense,
+    depth-ordered per-tile lists — WITHOUT a monolithic pair sort.
+
+    1. Gaussians are depth-sorted once (n elements, cheap; exact z with
+       argsort(-z)'s stable index tie-break).
+    2. Pairs are generated in z-major order and sorted by tile id in
+       independent CHUNK_TARGET-length chunks (a chunked lax.sort is ~5x
+       cheaper per element than one 12M-element sort).
+    3. Within a chunk, a (chunk, tile) segment is z-ordered (stable
+       sort); ACROSS chunks, every pair in chunk c is nearer than every
+       pair in chunk c+1 (z-major generation) — so the per-tile dense
+       list is just the concatenation of its segments in chunk order,
+       materialized by pure position arithmetic:
+         H[c,t]  per-chunk tile histogram      (fused compare-reduce)
+         P[c,t]  within-chunk segment starts   (cumsum over t)
+         cumH    cross-chunk prefix            (cumsum over c)
+         src[t,r] = r + Q[c(r),t],  Q = c*L + P - cumHexcl
+       where c(r) counts chunks exhausted before rank r (compare-reduce).
 
     Returns (slots (n_tiles*cap,) int32 indices [n == dead row],
              cnt (1, n_tiles) int32 per-tile list lengths)."""
     n = px.shape[0]
     n_tiles = tiles_x * tiles_y
     k = _k_pairs(n)
+
+    # Depth order (near first), exact: stable single-key sort on the
+    # monotone descending-z bits; ties keep index order like argsort(-z).
+    zk = _zkey_desc(z_cam)
+    _, order = jax.lax.sort(
+        (zk, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+
+    # Rect inputs permuted to z order via ONE packed row gather (row
+    # gathers are ~10x cheaper than per-column element gathers).
+    packed = jnp.stack([px, py, sigma_x, sigma_y, op_eff,
+                        jnp.zeros_like(px), jnp.zeros_like(px),
+                        jnp.zeros_like(px)], axis=1)       # (n, 8)
+    ps = packed[order]
     tx_lo, ty_lo, kx_c, count = _tile_rects(
-        px, py, sigma_x, sigma_y, op_eff, tiles_x, tiles_y, k)
+        ps[:, 0], ps[:, 1], ps[:, 2], ps[:, 3], ps[:, 4],
+        tiles_x, tiles_y, k, width, height)
+
+    m_per = max(1, CHUNK_TARGET // k)              # gaussians per chunk
+    chunk_l = m_per * k                            # pairs per chunk
+    c_chunks = max(1, (n + m_per - 1) // m_per)
+    n_pad = c_chunks * m_per
+    lbits = max(1, int(chunk_l - 1).bit_length())  # bits for m_local
 
     jj = jnp.arange(k, dtype=jnp.int32)
-    drow = jj[None, :] // kx_c[:, None]            # (n, K)
+    drow = jj[None, :] // kx_c[:, None]            # (n, K) z-major
     dcol = jj[None, :] % kx_c[:, None]
     tile = (ty_lo[:, None] + drow) * tiles_x + (tx_lo[:, None] + dcol)
     valid = jj[None, :] < count[:, None]
-    tile = jnp.where(valid, tile, n_tiles).astype(jnp.uint32)
+    tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
 
-    # ONE fused uint32 key: tile id in the top bits, the top bits of the
-    # descending-z key below. Sorting (key, gidx) groups by tile and
-    # depth-orders within it in one single-key pass — measured ~35%
-    # cheaper than the 3-key (tile, zbits, idx) sort at 12M pairs. z is
-    # truncated to (32 - ceil(log2(n_tiles+1))) bits (>= 20 bits ≈ 1e-4
-    # relative z resolution); gaussians in the same tile whose z agree to
-    # that precision fall back to the stable index order — the same
-    # tie-break the oracle's argsort(-z) applies to exact ties, and far
-    # below visual or test tolerance otherwise.
-    tb = max(1, int(n_tiles).bit_length())         # bits for tile + sentinel
-    shift = jnp.uint32(32 - tb)
-    zk = _zkey_desc(z_cam)
-    key = ((tile << shift)
-           | (jnp.broadcast_to(zk[:, None], (n, k)) >> jnp.uint32(tb)))
-    gidx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k)).reshape(-1)
+    # KEY-ONLY chunk sort: the key packs (tile, within-chunk pair index).
+    # m_local = g_local*K + j is unique per chunk element and ascends in
+    # z rank, so sorting the single int32 key both tile-groups and
+    # z-orders — no value operand, no stability requirement (unstable
+    # sort is ~20% faster at this size), and the gaussian id is recovered
+    # arithmetically from the low bits afterwards.
+    m_local = (jnp.arange(n, dtype=jnp.int32)[:, None] % m_per) * k + jj
+    key = (tile << lbits) | m_local
+    key_c = jnp.pad(key.reshape(-1), (0, (n_pad - n) * k),
+                    constant_values=(n_tiles << lbits)
+                    ).reshape(c_chunks, chunk_l)
+    (key_s,) = jax.lax.sort((key_c,), dimension=1, num_keys=1,
+                            is_stable=False)
 
-    key_s, gauss_s = jax.lax.sort((key.reshape(-1), gidx), num_keys=1)
+    # Per-chunk tile histogram WITHOUT touching pairs: chunks are whole
+    # gaussians, and each gaussian's (budget-shrunk) rect is separable,
+    # so H[c, (ty,tx)] = sum_g Fy[g,ty] * Fx[g,tx] — one (C, Ty, M) @
+    # (C, M, Tx) MXU matmul over 0/1 indicators (f32 is exact: counts
+    # < 2^24), ~12x less work than a per-pair compare-reduce.
+    ky_c = jnp.where(count > 0, count // jnp.maximum(kx_c, 1), 0)
+    ty_ax = jnp.arange(tiles_y, dtype=jnp.int32)
+    tx_ax = jnp.arange(tiles_x, dtype=jnp.int32)
+    fy = ((ty_ax[None, :] >= ty_lo[:, None])
+          & (ty_ax[None, :] < (ty_lo + ky_c)[:, None])).astype(jnp.float32)
+    fx = ((tx_ax[None, :] >= tx_lo[:, None])
+          & (tx_ax[None, :] < (tx_lo + kx_c)[:, None])
+          & (count > 0)[:, None]).astype(jnp.float32)
+    fy = jnp.pad(fy, ((0, n_pad - n), (0, 0))).reshape(
+        c_chunks, m_per, tiles_y)
+    fx = jnp.pad(fx, ((0, n_pad - n), (0, 0))).reshape(
+        c_chunks, m_per, tiles_x)
+    h = jnp.einsum("cmy,cmx->cyx", fy, fx,
+                   preferred_element_type=jnp.float32)
+    h = h.reshape(c_chunks, n_tiles).astype(jnp.int32)  # (C, T)
+    p_start = jnp.cumsum(h, axis=1) - h            # within-chunk starts
+    cum_h = jnp.cumsum(h, axis=0)                  # inclusive over chunks
+    q = (p_start - (cum_h - h)
+         + (jnp.arange(c_chunks, dtype=jnp.int32) * chunk_l)[:, None])
+    cnt = jnp.minimum(cum_h[-1], cap).astype(jnp.int32)
 
-    tile_bounds = (jnp.arange(n_tiles + 1, dtype=jnp.uint32) << shift)
-    edges = jnp.searchsorted(key_s, tile_bounds, side="left")
-    lo, hi = edges[:-1], edges[1:]
-    cnt = jnp.minimum(hi - lo, cap).astype(jnp.int32)
-
-    # Dense layout by GATHER (no scatter): slot (t, r) holds the pair at
-    # sorted position lo[t] + r while r < cnt[t], else the dead row n.
     rank = jnp.arange(cap, dtype=jnp.int32)
-    pos = lo[:, None] + rank[None, :]              # (n_tiles, cap)
+    # src[t, r] = r + q[c(r), t], with the c(r) selection telescoped into
+    # a fused compare-reduce over chunks (no 0.5M-element table gather):
+    # q[c(r),t] = q[0,t] + sum_{c>=1} (q[c,t]-q[c-1,t]) * [cum_h[c-1,t]<=r]
+    dq = q[1:] - q[:-1]                            # (C-1, T)
+    sel = (cum_h[:-1, :, None] <= rank[None, None, :])
+    qsel = q[0][:, None] + jnp.sum(
+        dq[:, :, None] * sel, axis=0, dtype=jnp.int32)   # (T, cap)
+    src = rank[None, :] + qsel
+
     keep = rank[None, :] < cnt[:, None]
-    pos = jnp.clip(pos, 0, key_s.shape[0] - 1)
-    slots = jnp.where(keep, gauss_s[pos], n).reshape(-1)
+    src = jnp.clip(src, 0, c_chunks * chunk_l - 1)
+    # Recover the ORIGINAL gaussian index: sorted key low bits -> local
+    # pair index -> z-rank -> order[z_rank].
+    m_sel = key_s.reshape(-1)[src] & ((1 << lbits) - 1)
+    g_zrank = (src // chunk_l) * m_per + m_sel // k
+    slots = jnp.where(keep, order[jnp.clip(g_zrank, 0, n - 1)],
+                      n).reshape(-1)
     # (1, n_tiles): 2D so SMEM blocks stay legal under vmap batching.
     return slots, cnt[None, :]
 
@@ -294,7 +374,7 @@ def sorted_composite_pallas(
 
     slots, cnt = _bin_pairs_2d(
         s.px, s.py, s.sigma_x, s.sigma_y, s.op_eff, z_cam,
-        tiles_x, tiles_y, band_capacity)
+        tiles_x, tiles_y, band_capacity, width, height)
 
     # Row-major packed gaussian data (n+1, 16) — row n is the dead slot —
     # gathered by rows (contiguous 64B) then transposed once.
