@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--footprint", choices=["axis", "ewa"], default=d.footprint,
                     help="axis = reference-parity isotropic footprint; "
                          "ewa = trainable quaternion + full covariance")
+    ap.add_argument("--render_mode", choices=["accum", "sorted"],
+                    default=d.render_mode,
+                    help="accum = reference weighted-average training; "
+                         "sorted = 3DGS-style depth-sorted alpha blending "
+                         "(fused Pallas VJP; no depth supervision)")
     ap.add_argument("--clone_metric", choices=["opacity", "grad"],
                     default=d.clone_metric)
     ap.add_argument("--log_every", type=int, default=d.log_every)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from tpu_gaussians.core.types import Array, Camera, RenderConfig
 from tpu_gaussians.models.gaussian_model import RawParams, activate
-from tpu_gaussians.ops.dispatch import render_accum
+from tpu_gaussians.ops.dispatch import render_accum, render_sorted
 
 
 @dataclass(frozen=True)
@@ -56,11 +56,27 @@ def loss_fn(
     render_config: RenderConfig,
     loss_config: LossConfig,
 ) -> Tuple[Array, dict]:
-    """Scalar loss + metrics dict. Differentiable in `raw`."""
+    """Scalar loss + metrics dict. Differentiable in `raw`.
+
+    render_config.mode selects the compositing model: "accum" (the
+    reference's weighted-average training path, torch_renderer.py:192-196)
+    or "sorted" (depth-sorted front-to-back alpha blending — the 3DGS
+    training recipe, differentiable via the fused Pallas VJP). Sorted mode
+    has no depth aux, so depth supervision requires mode="accum"."""
     g = activate(raw)
 
-    def render_view(view, proj):
-        return render_accum(g, view, proj, render_config)
+    if render_config.mode == "sorted":
+        if depths is not None and loss_config.depth_weight > 0.0:
+            raise ValueError(
+                "depth supervision requires render mode 'accum' "
+                "(sorted compositing emits no depth aux)")
+
+        def render_view(view, proj):
+            image, alpha = render_sorted(g, view, proj, render_config)
+            return image, alpha, jnp.zeros_like(alpha)
+    else:
+        def render_view(view, proj):
+            return render_accum(g, view, proj, render_config)
 
     pred, alpha, depth = jax.vmap(render_view)(cameras.view, cameras.proj)
 

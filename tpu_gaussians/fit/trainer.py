@@ -88,6 +88,7 @@ def fit(
     render_config = RenderConfig(
         width=config.width, height=config.height, impl=config.impl,
         footprint=getattr(config, "footprint", "axis"),
+        mode=getattr(config, "render_mode", "accum"),
         return_aux=True,
     )
     loss_config = LossConfig(

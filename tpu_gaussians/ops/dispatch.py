@@ -73,9 +73,11 @@ def render_sorted(
 ) -> Tuple[Array, Array]:
     """Depth-sorted front-to-back mode -> (image, alpha).
 
-    The pallas path is forward-only (the reference's depth-sorted path is
-    also forward-only, renderer_cpu.cpp:125-217); use impl="jnp" when
-    differentiating through sorted compositing. row0: see render_accum.
+    Differentiable on BOTH paths: the jnp oracle via autodiff, the pallas
+    path via a hand-fused backward kernel (ops/pallas/sorted.py
+    _sorted_bwd_kernel — the BASELINE north star's per-tile fused VJP;
+    the reference's own depth-sorted path is forward-only,
+    renderer_cpu.cpp:125-217). row0: see render_accum.
     """
     s = prepare_splats(g, view, proj, config.width, config.full_height(),
                        footprint=config.footprint)

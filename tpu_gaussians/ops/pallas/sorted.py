@@ -73,6 +73,11 @@ TH = 16        # tile height (pixel rows)
 TWC = 128      # tile width (pixel cols = lane dim)
 TPS = TH * TWC # pixels per tile (2048)
 ALPHA_CUTOFF = 1e-5
+A_MAX = 0.9999 # per-gaussian alpha ceiling: keeps the backward's
+               # 1/(1 - a) bounded (the 3DGS training recipe clamps at
+               # 0.99; sigmoid-activated opacities never reach 1, so this
+               # only deviates from the reference clamp01 for synthetic
+               # op >= 1 inputs, by <= 1e-4)
 EXIT_T = 1e-6  # whole-chunk early-exit transmittance threshold
 
 # Per-gaussian tile budget K adapts to scene size: the (tile, z) sort runs
@@ -101,6 +106,20 @@ def _exclusive_cumprod(x: Array, axis: int) -> Array:
         rolled = jnp.where(idx >= shift,
                            pltpu.roll(y, shift=shift, axis=axis), 1.0)
         y = y * rolled
+        shift *= 2
+    return y
+
+
+def _inclusive_cumsum(x: Array, axis: int) -> Array:
+    """Inclusive cumulative sum along `axis` (log2(n) shift-add doubling
+    passes, Mosaic-friendly like _exclusive_cumprod)."""
+    n = x.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    y = x
+    shift = 1
+    while shift < n:
+        y = y + jnp.where(idx >= shift,
+                          pltpu.roll(y, shift=shift, axis=axis), 0.0)
         shift *= 2
     return y
 
@@ -155,7 +174,8 @@ def _sorted_kernel(cnt_ref, gdense_ref, acc_ref, rgbw_ref, trans_ref,
                         + 2.0 * gd[:, 3:4] * dx * dy
                         + gd[:, 4:5] * dy * dy)
             a_s = gd[:, 5:6] * jnp.exp(e)
-            a_s = jnp.where(a_s < ALPHA_CUTOFF, 0.0, jnp.clip(a_s, 0.0, 1.0))
+            a_s = jnp.where(a_s < ALPHA_CUTOFF, 0.0,
+                            jnp.clip(a_s, 0.0, A_MAX))
             contrib = _exclusive_cumprod(1.0 - a_s, axis=0) * a_s
             feats = gd[:, 6:14]                  # (sub, 8) [r,g,b,1,z,...]
             # block[f, p] = sum_i feats[i, f] * contrib[i, p]; column 3 of
@@ -372,12 +392,18 @@ def sorted_composite_pallas(
     band_capacity = _round_up(band_capacity, NBS)
     chunks_per_tile = band_capacity // NBS
 
+    # Binning is pure int selection (which gaussians, in what order) — no
+    # gradient flows through it (same stance as CUDA 3DGS); stop_gradient
+    # keeps AD away from its non-differentiable bit tricks.
+    stop = jax.lax.stop_gradient
     slots, cnt = _bin_pairs_2d(
-        s.px, s.py, s.sigma_x, s.sigma_y, s.op_eff, z_cam,
+        stop(s.px), stop(s.py), stop(s.sigma_x), stop(s.sigma_y),
+        stop(s.op_eff), stop(z_cam),
         tiles_x, tiles_y, band_capacity, width, height)
 
-    # Row-major packed gaussian data (n+1, 16) — row n is the dead slot —
-    # gathered by rows (contiguous 64B) then transposed once.
+    # Row-major packed gaussian data (n+1, 16) — row n is the dead slot.
+    # Built in jnp so AD of the slot gather produces the per-gaussian
+    # scatter-add of slot gradients automatically.
     feats_p = jnp.pad(s.feats, ((0, 0), (0, FEAT_PAD - s.feats.shape[1])))
     cols = [s.px, s.py, s.conic_a, s.conic_b, s.conic_c, s.op_eff]
     cols += [feats_p[:, f] for f in range(FEAT_PAD)]
@@ -389,7 +415,22 @@ def sorted_composite_pallas(
 
     gdense = gdataT[slots]                                # (tiles*cap, 16)
 
-    acc = pl.pallas_call(
+    acc = _sorted_core(gdense, cnt.astype(jnp.int32), tiles_x, n_tiles,
+                       chunks_per_tile)
+
+    # (8, tiles*TPS) -> (Hp, Wp, 8) -> crop
+    full = acc.reshape(FEAT_PAD, tiles_y, tiles_x, TH, TWC)
+    full = full.transpose(1, 3, 2, 4, 0).reshape(
+        tiles_y * TH, tiles_x * TWC, FEAT_PAD)
+    rgb = full[:height, :width, :3]
+    alpha = full[:height, :width, 3]
+    image = rgb + (1.0 - alpha)[..., None] * background[None, None, :]
+    return jnp.clip(image, 0.0, 1.0), alpha
+
+
+def _sorted_fwd_call(gdense, cnt, tiles_x: int, n_tiles: int,
+                     chunks_per_tile: int) -> Array:
+    return pl.pallas_call(
         functools.partial(_sorted_kernel, tiles_x=tiles_x,
                           chunks_per_tile=chunks_per_tile),
         grid=(n_tiles, chunks_per_tile),
@@ -414,11 +455,175 @@ def sorted_composite_pallas(
         interpret=_interpret(),
     )(cnt, gdense)
 
-    # (8, tiles*TPS) -> (Hp, Wp, 8) -> crop
-    full = acc.reshape(FEAT_PAD, tiles_y, tiles_x, TH, TWC)
-    full = full.transpose(1, 3, 2, 4, 0).reshape(
-        tiles_y * TH, tiles_x * TWC, FEAT_PAD)
-    rgb = full[:height, :width, :3]
-    alpha = full[:height, :width, 3]
-    image = rgb + (1.0 - alpha)[..., None] * background[None, None, :]
-    return jnp.clip(image, 0.0, 1.0), alpha
+
+def _sorted_bwd_kernel(cnt_ref, gdense_ref, acc_ref, g8_ref, out_ref,
+                       trans_ref, u_ref, ctg_ref,
+                       *, tiles_x: int, chunks_per_tile: int):
+    """Fused backward of the sorted compositing kernel (SURVEY.md hard
+    part #1 for the depth-sorted path; the BASELINE north star's
+    "hand-fused backward ... per tile").
+
+    Forward-order recompute pass. For C = sum_i T_i a_i f_i (per pixel,
+    per feature; T_i the transmittance before gaussian i in global z
+    order) the adjoints are
+        dL/df_i = T_i a_i g            (g = d L / d acc)
+        dL/da_i = T_i (f_i . g) - S_i / (1 - a_i),
+    with S_i = sum_{j>i} T_j a_j (f_j . g) computed WITHOUT a backward
+    sweep as S_i = (C_tot . g) - P_i, where C_tot comes from the saved
+    forward output and P_i is the inclusive running prefix of
+    contrib * (f . g) — so the backward streams chunks in the SAME
+    front-to-back order as the forward, reusing its early-exit. a-space
+    adjoints are emitted as raw moments [Mdx, Mdy, Mxx, Mxy, Myy, M0] of
+    g_e = a * g_a; the O(N) chain-rule constants (conic coefficients,
+    1/op) are applied outside the kernel (same trick as the v2
+    accumulation backward)."""
+    i = pl.program_id(0)  # tile
+    j = pl.program_id(1)  # chunk within tile
+
+    @pl.when(j == 0)
+    def _():
+        trans_ref[:] = jnp.ones_like(trans_ref)
+        u_ref[:] = jnp.zeros_like(u_ref)
+        ctg_ref[:] = jnp.sum(acc_ref[:] * g8_ref[:], axis=0, keepdims=True)
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    live = jnp.max(trans_ref[:]) > EXIT_T
+
+    @pl.when((j * NBS < cnt_ref[0, i]) & live)
+    def _():
+        ty = i // tiles_x
+        tx = i % tiles_x
+        pix = jax.lax.broadcasted_iota(jnp.int32, (1, TPS), dimension=1)
+        gx = (tx * TWC + pix % TWC).astype(jnp.float32) + 0.5   # (1, TP)
+        gy = (ty * TH + pix // TWC).astype(jnp.float32) + 0.5
+
+        trans = trans_ref[:]                    # (1, TP)
+        u_c = u_ref[:]
+        ctg = ctg_ref[:]
+        g8 = g8_ref[:]                          # (8, TP)
+
+        sub = NBS // 4
+        for sb in range(4):
+            gd = gdense_ref[sb * sub:(sb + 1) * sub, :]  # (sub, GD_ROWS)
+            dx = gx - gd[:, 0:1]                # (sub, TP)
+            dy = gy - gd[:, 1:2]
+            dx2 = dx * dx
+            dxy = dx * dy
+            dy2 = dy * dy
+            e = -0.5 * (gd[:, 2:3] * dx2 + 2.0 * gd[:, 3:4] * dxy
+                        + gd[:, 4:5] * dy2)
+            a_raw = gd[:, 5:6] * jnp.exp(e)
+            pass_g = (a_raw >= ALPHA_CUTOFF) & (a_raw <= A_MAX)
+            a_s = jnp.where(a_raw < ALPHA_CUTOFF, 0.0,
+                            jnp.clip(a_raw, 0.0, A_MAX))
+            excl = _exclusive_cumprod(1.0 - a_s, axis=0)
+            t_i = trans * excl                  # (sub, TP)
+            contrib = t_i * a_s
+            feats = gd[:, 6:14]                 # (sub, 8)
+
+            # gf[i,p] = sum_f feats[i,f] * g8[f,p]      (MXU)
+            gf = jnp.dot(feats, g8,
+                         preferred_element_type=jnp.float32,
+                         precision="highest")   # (sub, TP)
+            u = contrib * gf
+            up = u_c + _inclusive_cumsum(u, axis=0)      # P_i (inclusive)
+            g_a = t_i * gf - (ctg - up) / (1.0 - a_s)
+            g_e = jnp.where(pass_g, a_s * g_a, 0.0)
+
+            m0 = jnp.sum(g_e, axis=1, keepdims=True)     # (sub, 1)
+            mdx = jnp.sum(g_e * dx, axis=1, keepdims=True)
+            mdy = jnp.sum(g_e * dy, axis=1, keepdims=True)
+            mxx = jnp.sum(g_e * dx2, axis=1, keepdims=True)
+            mxy = jnp.sum(g_e * dxy, axis=1, keepdims=True)
+            myy = jnp.sum(g_e * dy2, axis=1, keepdims=True)
+            # g_feat[i,f] = sum_p contrib[i,p] * g8[f,p]  (MXU)
+            g_feat = jax.lax.dot_general(
+                contrib, g8, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision="highest",
+            )                                   # (sub, 8)
+            out_ref[sb * sub:(sb + 1) * sub, :] = jnp.concatenate(
+                [mdx, mdy, mxx, mxy, myy, m0, g_feat,
+                 jnp.zeros((sub, GD_ROWS - 6 - FEAT_PAD), jnp.float32)],
+                axis=1)
+
+            u_c = up[sub - 1:sub, :]
+            trans = trans - jnp.sum(contrib, axis=0, keepdims=True)
+
+        trans_ref[:] = trans
+        u_ref[:] = u_c
+
+
+def _sorted_bwd_call(gdense, cnt, acc, g8, tiles_x: int, n_tiles: int,
+                     chunks_per_tile: int) -> Array:
+    rows = gdense.shape[0]
+    return pl.pallas_call(
+        functools.partial(_sorted_bwd_kernel, tiles_x=tiles_x,
+                          chunks_per_tile=chunks_per_tile),
+        grid=(n_tiles, chunks_per_tile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # cnt
+            pl.BlockSpec((NBS, GD_ROWS),
+                         lambda i, j: (i * chunks_per_tile + j, 0),
+                         memory_space=pltpu.VMEM),    # gdense chunk
+            pl.BlockSpec((FEAT_PAD, TPS), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),    # acc (fwd output)
+            pl.BlockSpec((FEAT_PAD, TPS), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),    # g8 (cotangent)
+        ],
+        out_specs=pl.BlockSpec((NBS, GD_ROWS),
+                               lambda i, j: (i * chunks_per_tile + j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, GD_ROWS), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, TPS), jnp.float32),  # transmittance
+            pltpu.VMEM((1, TPS), jnp.float32),  # prefix of contrib*(f.g)
+            pltpu.VMEM((1, TPS), jnp.float32),  # C_tot . g
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(cnt, gdense, acc, g8)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _sorted_core(gdense, cnt, tiles_x, n_tiles, chunks_per_tile):
+    """acc (FEAT_PAD, n_tiles*TPS) from dense per-tile lists; row 3 of
+    the output is 1 - T_final (== sum of contribs, exactly in real
+    arithmetic). Differentiable in gdense via the fused backward."""
+    return _sorted_fwd_call(gdense, cnt, tiles_x, n_tiles, chunks_per_tile)
+
+
+def _sorted_core_fwd(gdense, cnt, tiles_x, n_tiles, chunks_per_tile):
+    acc = _sorted_fwd_call(gdense, cnt, tiles_x, n_tiles, chunks_per_tile)
+    return acc, (gdense, cnt, acc)
+
+
+def _sorted_core_bwd(tiles_x, n_tiles, chunks_per_tile, res, g_acc):
+    import numpy as np
+
+    gdense, cnt, acc = res
+    raw = _sorted_bwd_call(gdense, cnt, acc, g_acc, tiles_x, n_tiles,
+                           chunks_per_tile)
+    # O(N) chain-rule post-pass on slot rows (constants factored out of
+    # the kernel): e = -(a dx^2 + 2b dxdy + c dy^2)/2, w = op * exp(e).
+    a, b, c = gdense[:, 2], gdense[:, 3], gdense[:, 4]
+    op = gdense[:, 5]
+    mdx, mdy = raw[:, 0], raw[:, 1]
+    mxx, mxy, myy, m0 = raw[:, 2], raw[:, 3], raw[:, 4], raw[:, 5]
+    g_head = jnp.stack(
+        [a * mdx + b * mdy,
+         b * mdx + c * mdy,
+         -0.5 * mxx, -mxy, -0.5 * myy,
+         jnp.where(op > 0, m0 / jnp.where(op > 0, op, 1.0), 0.0)],
+        axis=1)
+    g_gdense = jnp.concatenate(
+        [g_head, raw[:, 6:6 + FEAT_PAD],
+         jnp.zeros_like(raw[:, 6 + FEAT_PAD:])], axis=1)
+    g_cnt = np.zeros(cnt.shape, jax.dtypes.float0)
+    return g_gdense, g_cnt
+
+
+_sorted_core.defvjp(_sorted_core_fwd, _sorted_core_bwd)

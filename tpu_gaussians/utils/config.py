@@ -49,6 +49,9 @@ class FitConfig:
     seed: int = 0
     impl: str = "auto"            # renderer impl: auto | jnp | pallas
     footprint: str = "axis"       # axis (reference parity) | ewa (quat+cov)
+    render_mode: str = "accum"    # accum (reference training semantics) |
+                                  # sorted (3DGS-style depth-sorted alpha
+                                  # blending via the fused Pallas VJP)
     clone_metric: str = "opacity"  # densify ranking: opacity (reference) | grad
     log_every: int = 25            # print cadence (reference prints every 25, :315)
     checkpoint_every: int = 0      # 0 = only final artifacts (reference behavior)
