@@ -146,6 +146,10 @@ class RenderConfig:
     return_aux: bool = False  # also return (alpha, depth)
     sorted_band_capacity: int = 0  # pallas sorted: per-band list capacity
                                    # (0 = auto; overflow drops farthest)
+    accum_binned: str = "auto"  # pallas accum kernel choice: "auto" =
+                                # tile-binned lists above BINNED_MIN_N
+                                # gaussians, dense band kernels below;
+                                # "on"/"off" force it
     proj_height: int = 0  # full-frame height when rendering a row window
                           # of a taller frame (parallel/tiled.py); 0 =
                           # height (normal full-frame rendering)
@@ -157,6 +161,9 @@ class RenderConfig:
             raise ValueError(f"impl must be auto/jnp/pallas, got {self.impl!r}")
         if self.footprint not in ("axis", "ewa"):
             raise ValueError(f"footprint must be axis/ewa, got {self.footprint!r}")
+        if self.accum_binned not in ("auto", "on", "off"):
+            raise ValueError(
+                f"accum_binned must be auto/on/off, got {self.accum_binned!r}")
         if self.width <= 0 or self.height <= 0:
             raise ValueError("width/height must be positive")
 

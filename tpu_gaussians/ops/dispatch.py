@@ -53,11 +53,21 @@ def render_accum(
         s = s._replace(py=s.py - row0)
     impl = _resolve_impl(config.impl)
     if impl == "pallas":
+        from tpu_gaussians.ops.pallas import binned as pallas_binned
         from tpu_gaussians.ops.pallas import splat as pallas_splat
 
-        acc = pallas_splat.splat_accumulate(
-            s, config.height, config.width
-        )
+        n = s.px.shape[0]
+        use_binned = (config.accum_binned == "on"
+                      or (config.accum_binned == "auto"
+                          and n >= pallas_binned.BINNED_MIN_N))
+        if use_binned:
+            acc = pallas_binned.splat_accumulate_binned(
+                s, config.height, config.width
+            )
+        else:
+            acc = pallas_splat.splat_accumulate(
+                s, config.height, config.width
+            )
     else:
         acc = jnp_renderer.accumulate_jnp(
             s, config.height, config.width, chunk=config.chunk_size

@@ -199,20 +199,22 @@ def _sorted_kernel(cnt_ref, gdense_ref, acc_ref, rgbw_ref, trans_ref,
 
 def _tile_rects(px, py, sigma_x, sigma_y, op_eff,
                 tiles_x: int, tiles_y: int, k: int,
-                width: int, height: int):
+                width: int, height: int, cutoff: float = ALPHA_CUTOFF):
     """Per-gaussian overlapped-tile rectangle (k-budgeted).
 
     Extent radius from the alpha cutoff (exact w.r.t. the reference's own
-    a < 1e-5 drop); when the rect exceeds the k budget it is shrunk
-    re-centered on the gaussian so the hottest tiles are kept. Gaussians
-    whose extent misses the screen entirely (off-screen; the reference
-    evaluates them to ~0 per pixel) get count=0 so they neither consume
-    per-tile capacity nor kernel work.
+    a < 1e-5 drop for the sorted path; the binned accumulation path
+    passes the far stricter W_CULL so binning preserves allclose parity
+    with the dense oracle); when the rect exceeds the k budget it is
+    shrunk re-centered on the gaussian so the hottest tiles are kept.
+    Gaussians whose extent misses the screen entirely (off-screen; the
+    reference evaluates them to ~0 per pixel) get count=0 so they neither
+    consume per-tile capacity nor kernel work.
     Returns (tx_lo, ty_lo, kx, ky, count) int32 arrays.
     """
     r = jnp.sqrt(2.0 * jnp.log(
-        jnp.maximum(op_eff, ALPHA_CUTOFF) / ALPHA_CUTOFF))
-    dead = op_eff <= ALPHA_CUTOFF
+        jnp.maximum(op_eff, cutoff) / cutoff))
+    dead = op_eff <= cutoff
     rx = r * sigma_x + 1.0
     ry = r * sigma_y + 1.0
 
@@ -254,7 +256,8 @@ CHUNK_TARGET = 16384  # pair-sort chunk length target (chunked sorts are
 
 def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
                   tiles_x: int, tiles_y: int, cap: int,
-                  width: int, height: int):
+                  width: int, height: int,
+                  cutoff: float = ALPHA_CUTOFF, zsort: bool = True):
     """Duplicate gaussians into overlapped tiles and build dense,
     depth-ordered per-tile lists — WITHOUT a monolithic pair sort.
 
@@ -280,21 +283,28 @@ def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
     n_tiles = tiles_x * tiles_y
     k = _k_pairs(n)
 
-    # Depth order (near first), exact: stable single-key sort on the
-    # monotone descending-z bits; ties keep index order like argsort(-z).
-    zk = _zkey_desc(z_cam)
-    _, order = jax.lax.sort(
-        (zk, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    if zsort:
+        # Depth order (near first), exact: stable single-key sort on the
+        # monotone descending-z bits; ties keep index order like
+        # argsort(-z).
+        zk = _zkey_desc(z_cam)
+        _, order = jax.lax.sort(
+            (zk, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        # Rect inputs permuted to z order via ONE packed row gather (row
+        # gathers are ~10x cheaper than per-column element gathers).
+        packed = jnp.stack([px, py, sigma_x, sigma_y, op_eff,
+                            jnp.zeros_like(px), jnp.zeros_like(px),
+                            jnp.zeros_like(px)], axis=1)   # (n, 8)
+        ps = packed[order]
+        rect_in = (ps[:, 0], ps[:, 1], ps[:, 2], ps[:, 3], ps[:, 4])
+    else:
+        # Order-independent accumulation: any list order works, so skip
+        # the z presort + permutation gather entirely.
+        order = jnp.arange(n, dtype=jnp.int32)
+        rect_in = (px, py, sigma_x, sigma_y, op_eff)
 
-    # Rect inputs permuted to z order via ONE packed row gather (row
-    # gathers are ~10x cheaper than per-column element gathers).
-    packed = jnp.stack([px, py, sigma_x, sigma_y, op_eff,
-                        jnp.zeros_like(px), jnp.zeros_like(px),
-                        jnp.zeros_like(px)], axis=1)       # (n, 8)
-    ps = packed[order]
     tx_lo, ty_lo, kx_c, count = _tile_rects(
-        ps[:, 0], ps[:, 1], ps[:, 2], ps[:, 3], ps[:, 4],
-        tiles_x, tiles_y, k, width, height)
+        *rect_in, tiles_x, tiles_y, k, width, height, cutoff=cutoff)
 
     m_per = max(1, CHUNK_TARGET // k)              # gaussians per chunk
     chunk_l = m_per * k                            # pairs per chunk
