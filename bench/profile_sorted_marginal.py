@@ -94,10 +94,10 @@ def main():
     n_tiles = tiles_x * tiles_y
 
     def f_rects(si, zz):
-        tx_lo, ty_lo, kx_c, count = srt._tile_rects(
+        tx_lo, ty_lo, kx_c, ky_c, count = srt._tile_rects(
             si.px, si.py, si.sigma_x, si.sigma_y, si.op_eff,
             tiles_x, tiles_y, k, W, H)
-        return (tx_lo + ty_lo + kx_c + count).astype(jnp.float32)
+        return (tx_lo + ty_lo + kx_c + ky_c + count).astype(jnp.float32)
     results["rects"] = marginal(f_rects, (s, z))
 
     def f_bin(si, zz):

@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="accum = reference weighted-average training; "
                          "sorted = 3DGS-style depth-sorted alpha blending "
                          "(fused Pallas VJP; no depth supervision)")
+    ap.add_argument("--accum_binned", choices=["auto", "on", "off"],
+                    default=d.accum_binned,
+                    help="accum kernels: auto = tile-binned lists above "
+                         "32k gaussians, dense band kernels below")
     ap.add_argument("--clone_metric", choices=["opacity", "grad"],
                     default=d.clone_metric)
     ap.add_argument("--log_every", type=int, default=d.log_every)

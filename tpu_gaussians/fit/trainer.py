@@ -89,6 +89,7 @@ def fit(
         width=config.width, height=config.height, impl=config.impl,
         footprint=getattr(config, "footprint", "axis"),
         mode=getattr(config, "render_mode", "accum"),
+        accum_binned=getattr(config, "accum_binned", "auto"),
         return_aux=True,
     )
     loss_config = LossConfig(

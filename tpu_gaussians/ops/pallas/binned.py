@@ -4,19 +4,24 @@ The dense v1/v2 accumulation kernels (ops/pallas/splat.py) cull only on
 the y axis (py-sorted block ranges per pixel band), so at large N with
 small splats most (gaussian, pixel) work is wasted. This module reuses
 the sorted path's 2D tile binner (ops/pallas/sorted.py _bin_pairs_2d,
-zsort=False — accumulation is order-independent so the z presort is
-skipped) to build dense per-tile gaussian lists, and accumulates only
-true (gaussian, tile) overlaps. Measured 4-6x faster than the band
-kernels at 100k gaussians / 1024^2 for fwd+bwd.
+zsort=False — accumulation is order-independent, so lists are ordered by
+opacity DESCENDING instead of depth and capacity overflow drops the
+weakest gaussians) to build dense per-tile gaussian lists, and
+accumulates only true (gaussian, tile) overlaps. Measured 2-3x faster
+than the band kernels at 100k gaussians for fwd+bwd (1.9x @512^2,
+2.9x @1024^2).
 
 Parity: the binning cutoff is W_CULL (1e-14), the same conservative
-threshold the dense kernels cull with — total dropped mass per pixel is
-below f32 accumulator resolution, so the binned output stays allclose
-with the dense oracle (torch_renderer.py:146-196 semantics). Per-gaussian
-tile rects are budgeted to _k_pairs(n) tiles (huge-splat tails re-centered,
-see _tile_rects); per-tile lists are capacity-bounded — both documented
-approximations shared with the sorted path, negligible for real scenes
-(small splats at high N).
+threshold the dense kernels cull with — when nothing is budget- or
+capacity-dropped (per-tile load <= tile_capacity and rects within the
+pair budget, true for small/medium scenes and trained large scenes),
+the binned output stays allclose with the dense oracle
+(torch_renderer.py:146-196 semantics). Two documented approximations
+engage at scale: per-gaussian tile rects are budgeted to k tiles
+(huge-splat tails re-centered, see _tile_rects), and per-tile lists keep
+only the tile_capacity STRONGEST gaussians (opacity-descending order).
+Force accum_binned="off" (RenderConfig / --accum_binned) for exactness
+at any cost.
 
 Backward: hand-fused per-tile kernel (recompute-w, like the v2 backward)
 emitting raw moments [Mdx, Mdy, Mxx, Mxy, Myy, M0] + g_feat per SLOT;
@@ -42,6 +47,10 @@ from tpu_gaussians.ops.pallas.sorted import (
     TPS,
     TWC,
     _bin_pairs_2d,
+    _k_pairs,
+    crop_tiled_acc,
+    moment_postpass,
+    pack_gdataT,
 )
 from tpu_gaussians.ops.pallas.splat import (
     FEAT_PAD,
@@ -54,6 +63,14 @@ from tpu_gaussians.ops.pallas.splat import (
 # Below this many gaussians the dense v2 kernels win (binning overhead
 # exceeds the culling gain); above it, binned lists win and keep winning.
 BINNED_MIN_N = 32_768
+
+# W_CULL extents (~8 sigma) are much wider than the sorted path's
+# alpha-cutoff extents, so the binned-accum tile budget gets a larger
+# pair budget and floor (at 1M gaussians: K=24 vs the sorted path's 12).
+# Rects beyond the budget are still shrunk re-centered — a documented
+# approximation for huge-splat tails, negligible for real scenes.
+ACCUM_PAIR_BUDGET = 24_000_000
+ACCUM_K_MIN = 16
 
 
 def _binned_fwd_kernel(cnt_ref, gdense_ref, acc_ref,
@@ -212,21 +229,8 @@ def _binned_core_bwd(tiles_x, n_tiles, chunks_per_tile, res, g_acc):
     gdense, cnt = res
     raw = _binned_bwd_call(gdense, cnt, g_acc, tiles_x, n_tiles,
                            chunks_per_tile)
-    a, b, c = gdense[:, 2], gdense[:, 3], gdense[:, 4]
-    op = gdense[:, 5]
-    mdx, mdy = raw[:, 0], raw[:, 1]
-    mxx, mxy, myy, m0 = raw[:, 2], raw[:, 3], raw[:, 4], raw[:, 5]
-    g_head = jnp.stack(
-        [a * mdx + b * mdy,
-         b * mdx + c * mdy,
-         -0.5 * mxx, -mxy, -0.5 * myy,
-         jnp.where(op > 0, m0 / jnp.where(op > 0, op, 1.0), 0.0)],
-        axis=1)
-    g_gdense = jnp.concatenate(
-        [g_head, raw[:, 6:6 + FEAT_PAD],
-         jnp.zeros_like(raw[:, 6 + FEAT_PAD:])], axis=1)
     g_cnt = np.zeros(cnt.shape, jax.dtypes.float0)
-    return g_gdense, g_cnt
+    return moment_postpass(gdense, raw), g_cnt
 
 
 _binned_core.defvjp(_binned_core_fwd, _binned_core_bwd)
@@ -247,10 +251,17 @@ def splat_accumulate_binned(
     tiles_y = _round_up(height, TH) // TH
     n_tiles = tiles_x * tiles_y
 
+    k = _k_pairs(n, budget=ACCUM_PAIR_BUDGET, kmin=ACCUM_K_MIN)
     if tile_capacity <= 0:
-        # Generous default: parity requires that real overlaps are not
-        # dropped; W_CULL extents are wide, so cap at n (small scenes:
-        # lossless) or 8192 (large scenes: ~covers real per-tile loads).
+        # Default: cap at n (small scenes: lossless) or 8192. Lists are
+        # opacity-DESCENDING (zsort=False priority, _bin_pairs_2d), so
+        # overflow keeps each tile's 8192 STRONGEST gaussians — a
+        # training-grade approximation for scenes whose W_CULL extents
+        # stack deeper than that (e.g. random init at high N); trained
+        # scenes' small splats fit losslessly. Gather/backward cost
+        # scales with the cap, so bigger caps trade accuracy for time
+        # (measured: 8192 -> 16384 costs ~1.5-1.9x); raise via
+        # tile_capacity or force accum_binned="off" for exactness.
         tile_capacity = min(_round_up(n, NBS), max(8192, NBS))
     tile_capacity = _round_up(tile_capacity, NBS)
     chunks_per_tile = tile_capacity // NBS
@@ -260,24 +271,12 @@ def splat_accumulate_binned(
         stop(s.px), stop(s.py), stop(s.sigma_x), stop(s.sigma_y),
         stop(s.op_eff), None,
         tiles_x, tiles_y, tile_capacity, width, height,
-        cutoff=W_CULL, zsort=False)
+        cutoff=W_CULL, zsort=False, k=k)
 
-    feats_p = jnp.pad(s.feats, ((0, 0), (0, FEAT_PAD - s.feats.shape[1])))
-    cols = [s.px, s.py, s.conic_a, s.conic_b, s.conic_c, s.op_eff]
-    cols += [feats_p[:, f] for f in range(FEAT_PAD)]
-    cols += [jnp.zeros_like(s.px)] * (GD_ROWS - len(cols))
-    gdataT = jnp.stack(cols, axis=1)                      # (n, 16)
-    dead = jnp.zeros((1, GD_ROWS), jnp.float32)
-    dead = dead.at[0, 2].set(1.0).at[0, 4].set(1.0)       # identity conic
-    gdataT = jnp.concatenate([gdataT, dead], axis=0)      # (n+1, 16)
-
-    gdense = gdataT[slots]                                # (tiles*cap, 16)
+    gdense = pack_gdataT(s)[slots]                        # (tiles*cap, 16)
 
     acc = _binned_core(gdense, cnt.astype(jnp.int32), tiles_x, n_tiles,
                        chunks_per_tile)
 
-    # (8, tiles*TPS) -> (Hp, Wp, 8) -> crop -> (H*W, FEAT_DIM)
-    full = acc.reshape(FEAT_PAD, tiles_y, tiles_x, TH, TWC)
-    full = full.transpose(1, 3, 2, 4, 0).reshape(
-        tiles_y * TH, tiles_x * TWC, FEAT_PAD)
-    return full[:height, :width, :FEAT_DIM].reshape(-1, FEAT_DIM)
+    full = crop_tiled_acc(acc, tiles_y, tiles_x, height, width)
+    return full[..., :FEAT_DIM].reshape(-1, FEAT_DIM)

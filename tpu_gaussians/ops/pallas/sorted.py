@@ -88,8 +88,9 @@ PAIR_BUDGET = 12_000_000
 K_MIN, K_MAX = 8, 64
 
 
-def _k_pairs(n: int) -> int:
-    return int(min(K_MAX, max(K_MIN, PAIR_BUDGET // max(n, 1))))
+def _k_pairs(n: int, budget: int = PAIR_BUDGET, kmin: int = K_MIN,
+             kmax: int = K_MAX) -> int:
+    return int(min(kmax, max(kmin, budget // max(n, 1))))
 
 
 def _exclusive_cumprod(x: Array, axis: int) -> Array:
@@ -210,7 +211,8 @@ def _tile_rects(px, py, sigma_x, sigma_y, op_eff,
     Gaussians whose extent misses the screen entirely (off-screen; the
     reference evaluates them to ~0 per pixel) get count=0 so they neither
     consume per-tile capacity nor kernel work.
-    Returns (tx_lo, ty_lo, kx, ky, count) int32 arrays.
+    Returns (tx_lo, ty_lo, kx_c, ky_c, count) int32 arrays, with
+    count == kx_c * ky_c (0 when dead/off-screen).
     """
     r = jnp.sqrt(2.0 * jnp.log(
         jnp.maximum(op_eff, cutoff) / cutoff))
@@ -242,7 +244,8 @@ def _tile_rects(px, py, sigma_x, sigma_y, op_eff,
     ty_lo = jnp.clip(tyc - (ky_c - 1) // 2, ty_lo, ty_hi - ky_c + 1)
 
     count = jnp.where(dead | offscreen, 0, kx_c * ky_c).astype(jnp.int32)
-    return tx_lo, ty_lo, kx_c, count
+    ky_c = jnp.where(count > 0, ky_c, 0)
+    return tx_lo, ty_lo, kx_c, ky_c, count
 
 
 CHUNK_TARGET = 16384  # pair-sort chunk length target (chunked sorts are
@@ -257,21 +260,26 @@ CHUNK_TARGET = 16384  # pair-sort chunk length target (chunked sorts are
 def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
                   tiles_x: int, tiles_y: int, cap: int,
                   width: int, height: int,
-                  cutoff: float = ALPHA_CUTOFF, zsort: bool = True):
+                  cutoff: float = ALPHA_CUTOFF, zsort: bool = True,
+                  k: int = 0):
     """Duplicate gaussians into overlapped tiles and build dense,
-    depth-ordered per-tile lists — WITHOUT a monolithic pair sort.
+    priority-ordered per-tile lists — WITHOUT a monolithic pair sort.
 
-    1. Gaussians are depth-sorted once (n elements, cheap; exact z with
-       argsort(-z)'s stable index tie-break).
-    2. Pairs are generated in z-major order and sorted by tile id in
-       independent CHUNK_TARGET-length chunks (a chunked lax.sort is ~5x
-       cheaper per element than one 12M-element sort).
-    3. Within a chunk, a (chunk, tile) segment is z-ordered (stable
-       sort); ACROSS chunks, every pair in chunk c is nearer than every
-       pair in chunk c+1 (z-major generation) — so the per-tile dense
-       list is just the concatenation of its segments in chunk order,
+    1. Gaussians are priority-sorted once (n elements, cheap). With
+       zsort=True the priority is exact depth (near first, with
+       argsort(-z)'s stable index tie-break) — required by front-to-back
+       compositing. With zsort=False (order-independent accumulation)
+       the priority is opacity DESCENDING, so per-tile capacity overflow
+       drops the weakest gaussians instead of arbitrary ones.
+    2. Pairs are generated in priority-major order and sorted by tile id
+       in independent CHUNK_TARGET-length chunks (a chunked lax.sort is
+       ~5x cheaper per element than one 12M-element sort).
+    3. Within a chunk, a (chunk, tile) segment is priority-ordered;
+       ACROSS chunks, every pair in chunk c outranks every pair in chunk
+       c+1 (priority-major generation) — so the per-tile dense list is
+       just the concatenation of its segments in chunk order,
        materialized by pure position arithmetic:
-         H[c,t]  per-chunk tile histogram      (fused compare-reduce)
+         H[c,t]  per-chunk tile histogram      (separable-rect matmul)
          P[c,t]  within-chunk segment starts   (cumsum over t)
          cumH    cross-chunk prefix            (cumsum over c)
          src[t,r] = r + Q[c(r),t],  Q = c*L + P - cumHexcl
@@ -281,39 +289,39 @@ def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
              cnt (1, n_tiles) int32 per-tile list lengths)."""
     n = px.shape[0]
     n_tiles = tiles_x * tiles_y
-    k = _k_pairs(n)
+    if k <= 0:
+        k = _k_pairs(n)
 
-    if zsort:
-        # Depth order (near first), exact: stable single-key sort on the
-        # monotone descending-z bits; ties keep index order like
-        # argsort(-z).
-        zk = _zkey_desc(z_cam)
-        _, order = jax.lax.sort(
-            (zk, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-        # Rect inputs permuted to z order via ONE packed row gather (row
-        # gathers are ~10x cheaper than per-column element gathers).
-        packed = jnp.stack([px, py, sigma_x, sigma_y, op_eff,
-                            jnp.zeros_like(px), jnp.zeros_like(px),
-                            jnp.zeros_like(px)], axis=1)   # (n, 8)
-        ps = packed[order]
-        rect_in = (ps[:, 0], ps[:, 1], ps[:, 2], ps[:, 3], ps[:, 4])
-    else:
-        # Order-independent accumulation: any list order works, so skip
-        # the z presort + permutation gather entirely.
-        order = jnp.arange(n, dtype=jnp.int32)
-        rect_in = (px, py, sigma_x, sigma_y, op_eff)
+    # Priority key: depth for compositing, opacity for accumulation
+    # (see docstring step 1). _zkey_desc gives ascending-sort ==
+    # key-value DESCENDING for both.
+    prio = _zkey_desc(z_cam) if zsort else _zkey_desc(op_eff)
+    _, order = jax.lax.sort(
+        (prio, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    # Rect inputs permuted to priority order via ONE packed row gather
+    # (row gathers are ~10x cheaper than per-column element gathers).
+    packed = jnp.stack([px, py, sigma_x, sigma_y, op_eff,
+                        jnp.zeros_like(px), jnp.zeros_like(px),
+                        jnp.zeros_like(px)], axis=1)   # (n, 8)
+    ps = packed[order]
 
-    tx_lo, ty_lo, kx_c, count = _tile_rects(
-        *rect_in, tiles_x, tiles_y, k, width, height, cutoff=cutoff)
+    tx_lo, ty_lo, kx_c, ky_c, count = _tile_rects(
+        ps[:, 0], ps[:, 1], ps[:, 2], ps[:, 3], ps[:, 4],
+        tiles_x, tiles_y, k, width, height, cutoff=cutoff)
 
     m_per = max(1, CHUNK_TARGET // k)              # gaussians per chunk
     chunk_l = m_per * k                            # pairs per chunk
     c_chunks = max(1, (n + m_per - 1) // m_per)
     n_pad = c_chunks * m_per
     lbits = max(1, int(chunk_l - 1).bit_length())  # bits for m_local
+    if n_tiles >= (1 << (31 - lbits)):
+        raise ValueError(
+            f"tile count {n_tiles} overflows the packed int32 sort key "
+            f"({31 - lbits} tile bits at chunk length {chunk_l}); render "
+            "in row windows (parallel/tiled.py) for frames this large")
 
     jj = jnp.arange(k, dtype=jnp.int32)
-    drow = jj[None, :] // kx_c[:, None]            # (n, K) z-major
+    drow = jj[None, :] // kx_c[:, None]            # (n, K) priority-major
     dcol = jj[None, :] % kx_c[:, None]
     tile = (ty_lo[:, None] + drow) * tiles_x + (tx_lo[:, None] + dcol)
     valid = jj[None, :] < count[:, None]
@@ -338,7 +346,6 @@ def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
     # so H[c, (ty,tx)] = sum_g Fy[g,ty] * Fx[g,tx] — one (C, Ty, M) @
     # (C, M, Tx) MXU matmul over 0/1 indicators (f32 is exact: counts
     # < 2^24), ~12x less work than a per-pair compare-reduce.
-    ky_c = jnp.where(count > 0, count // jnp.maximum(kx_c, 1), 0)
     ty_ax = jnp.arange(tiles_y, dtype=jnp.int32)
     tx_ax = jnp.arange(tiles_x, dtype=jnp.int32)
     fy = ((ty_ax[None, :] >= ty_lo[:, None])
@@ -372,13 +379,60 @@ def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
     keep = rank[None, :] < cnt[:, None]
     src = jnp.clip(src, 0, c_chunks * chunk_l - 1)
     # Recover the ORIGINAL gaussian index: sorted key low bits -> local
-    # pair index -> z-rank -> order[z_rank].
+    # pair index -> priority rank -> order[rank].
     m_sel = key_s.reshape(-1)[src] & ((1 << lbits) - 1)
-    g_zrank = (src // chunk_l) * m_per + m_sel // k
-    slots = jnp.where(keep, order[jnp.clip(g_zrank, 0, n - 1)],
+    g_rank = (src // chunk_l) * m_per + m_sel // k
+    slots = jnp.where(keep, order[jnp.clip(g_rank, 0, n - 1)],
                       n).reshape(-1)
     # (1, n_tiles): 2D so SMEM blocks stay legal under vmap batching.
     return slots, cnt[None, :]
+
+
+def pack_gdataT(s: SplatInputs) -> Array:
+    """Row-major packed per-gaussian data (n+1, GD_ROWS): rows
+    [px, py, ca, cb, cc, op, feats(8), pad] — row n is the dead slot
+    (zero opacity, identity conic). Differentiable (plain stack), so the
+    AD of a `pack_gdataT(s)[slots]` gather is the slot->gaussian
+    scatter-add the binned backward needs."""
+    feats_p = jnp.pad(s.feats, ((0, 0), (0, FEAT_PAD - s.feats.shape[1])))
+    cols = [s.px, s.py, s.conic_a, s.conic_b, s.conic_c, s.op_eff]
+    cols += [feats_p[:, f] for f in range(FEAT_PAD)]
+    cols += [jnp.zeros_like(s.px)] * (GD_ROWS - len(cols))
+    gdataT = jnp.stack(cols, axis=1)                      # (n, 16)
+    dead = jnp.zeros((1, GD_ROWS), jnp.float32)
+    dead = dead.at[0, 2].set(1.0).at[0, 4].set(1.0)       # identity conic
+    return jnp.concatenate([gdataT, dead], axis=0)        # (n+1, 16)
+
+
+def crop_tiled_acc(acc: Array, tiles_y: int, tiles_x: int,
+                   height: int, width: int) -> Array:
+    """(FEAT_PAD, tiles*TPS) kernel output -> (H, W, FEAT_PAD) crop."""
+    full = acc.reshape(FEAT_PAD, tiles_y, tiles_x, TH, TWC)
+    full = full.transpose(1, 3, 2, 4, 0).reshape(
+        tiles_y * TH, tiles_x * TWC, FEAT_PAD)
+    return full[:height, :width]
+
+
+def moment_postpass(gdense: Array, raw: Array) -> Array:
+    """O(N) chain-rule post-pass shared by the sorted and binned
+    backwards: raw slot rows [Mdx, Mdy, Mxx, Mxy, Myy, M0, g_feat(8)]
+    (moments of g_e) -> gdense-layout gradients. For
+    e = -(a dx^2 + 2 b dxdy + c dy^2)/2 and w = op * exp(e):
+      g_px = a Mdx + b Mdy, g_py = b Mdx + c Mdy,
+      g_{a,b,c} = -(Mxx/2, Mxy, Myy/2), g_op = M0 / op."""
+    a, b, c = gdense[:, 2], gdense[:, 3], gdense[:, 4]
+    op = gdense[:, 5]
+    mdx, mdy = raw[:, 0], raw[:, 1]
+    mxx, mxy, myy, m0 = raw[:, 2], raw[:, 3], raw[:, 4], raw[:, 5]
+    g_head = jnp.stack(
+        [a * mdx + b * mdy,
+         b * mdx + c * mdy,
+         -0.5 * mxx, -mxy, -0.5 * myy,
+         jnp.where(op > 0, m0 / jnp.where(op > 0, op, 1.0), 0.0)],
+        axis=1)
+    return jnp.concatenate(
+        [g_head, raw[:, 6:6 + FEAT_PAD],
+         jnp.zeros_like(raw[:, 6 + FEAT_PAD:])], axis=1)
 
 
 def sorted_composite_pallas(
@@ -411,29 +465,14 @@ def sorted_composite_pallas(
         stop(s.op_eff), stop(z_cam),
         tiles_x, tiles_y, band_capacity, width, height)
 
-    # Row-major packed gaussian data (n+1, 16) — row n is the dead slot.
-    # Built in jnp so AD of the slot gather produces the per-gaussian
-    # scatter-add of slot gradients automatically.
-    feats_p = jnp.pad(s.feats, ((0, 0), (0, FEAT_PAD - s.feats.shape[1])))
-    cols = [s.px, s.py, s.conic_a, s.conic_b, s.conic_c, s.op_eff]
-    cols += [feats_p[:, f] for f in range(FEAT_PAD)]
-    cols += [jnp.zeros_like(s.px)] * (GD_ROWS - len(cols))
-    gdataT = jnp.stack(cols, axis=1)                      # (n, 16)
-    dead = jnp.zeros((1, GD_ROWS), jnp.float32)
-    dead = dead.at[0, 2].set(1.0).at[0, 4].set(1.0)       # identity conic
-    gdataT = jnp.concatenate([gdataT, dead], axis=0)      # (n+1, 16)
-
-    gdense = gdataT[slots]                                # (tiles*cap, 16)
+    gdense = pack_gdataT(s)[slots]                        # (tiles*cap, 16)
 
     acc = _sorted_core(gdense, cnt.astype(jnp.int32), tiles_x, n_tiles,
                        chunks_per_tile)
 
-    # (8, tiles*TPS) -> (Hp, Wp, 8) -> crop
-    full = acc.reshape(FEAT_PAD, tiles_y, tiles_x, TH, TWC)
-    full = full.transpose(1, 3, 2, 4, 0).reshape(
-        tiles_y * TH, tiles_x * TWC, FEAT_PAD)
-    rgb = full[:height, :width, :3]
-    alpha = full[:height, :width, 3]
+    full = crop_tiled_acc(acc, tiles_y, tiles_x, height, width)
+    rgb = full[..., :3]
+    alpha = full[..., 3]
     image = rgb + (1.0 - alpha)[..., None] * background[None, None, :]
     return jnp.clip(image, 0.0, 1.0), alpha
 
@@ -617,23 +656,8 @@ def _sorted_core_bwd(tiles_x, n_tiles, chunks_per_tile, res, g_acc):
     gdense, cnt, acc = res
     raw = _sorted_bwd_call(gdense, cnt, acc, g_acc, tiles_x, n_tiles,
                            chunks_per_tile)
-    # O(N) chain-rule post-pass on slot rows (constants factored out of
-    # the kernel): e = -(a dx^2 + 2b dxdy + c dy^2)/2, w = op * exp(e).
-    a, b, c = gdense[:, 2], gdense[:, 3], gdense[:, 4]
-    op = gdense[:, 5]
-    mdx, mdy = raw[:, 0], raw[:, 1]
-    mxx, mxy, myy, m0 = raw[:, 2], raw[:, 3], raw[:, 4], raw[:, 5]
-    g_head = jnp.stack(
-        [a * mdx + b * mdy,
-         b * mdx + c * mdy,
-         -0.5 * mxx, -mxy, -0.5 * myy,
-         jnp.where(op > 0, m0 / jnp.where(op > 0, op, 1.0), 0.0)],
-        axis=1)
-    g_gdense = jnp.concatenate(
-        [g_head, raw[:, 6:6 + FEAT_PAD],
-         jnp.zeros_like(raw[:, 6 + FEAT_PAD:])], axis=1)
     g_cnt = np.zeros(cnt.shape, jax.dtypes.float0)
-    return g_gdense, g_cnt
+    return moment_postpass(gdense, raw), g_cnt
 
 
 _sorted_core.defvjp(_sorted_core_fwd, _sorted_core_bwd)

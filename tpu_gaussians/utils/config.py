@@ -52,6 +52,8 @@ class FitConfig:
     render_mode: str = "accum"    # accum (reference training semantics) |
                                   # sorted (3DGS-style depth-sorted alpha
                                   # blending via the fused Pallas VJP)
+    accum_binned: str = "auto"    # accum kernel choice: auto (tile-binned
+                                  # lists above 32k gaussians) | on | off
     clone_metric: str = "opacity"  # densify ranking: opacity (reference) | grad
     log_every: int = 25            # print cadence (reference prints every 25, :315)
     checkpoint_every: int = 0      # 0 = only final artifacts (reference behavior)
