@@ -114,6 +114,17 @@ def main():
         return jnp.sum(gr.means)
     results["prep_fwdbwd"] = marginal(chain(f_prepg), (g,))
 
+    # --- separable (axis-footprint) kernels
+    def f_splat_sep(si):
+        return jnp.sum(splat_accumulate(si, SIZE, SIZE, axis=True))
+    results["splat_fwd_sep"] = marginal(chain(f_splat_sep), (s,))
+
+    def f_splatg_sep(si):
+        gr = jax.grad(lambda q: jnp.sum(
+            splat_accumulate(q, SIZE, SIZE, axis=True)))(si)
+        return jnp.sum(gr.px) + jnp.sum(gr.feats)
+    results["splat_fwdbwd_sep"] = marginal(chain(f_splatg_sep), (s,))
+
     # --- splat fwd+bwd without the py-sort
     def f_splatg_nosort(si):
         gr = jax.grad(lambda q: jnp.sum(

@@ -66,7 +66,8 @@ def render_accum(
             )
         else:
             acc = pallas_splat.splat_accumulate(
-                s, config.height, config.width
+                s, config.height, config.width,
+                axis=(config.footprint == "axis"),
             )
     else:
         acc = jnp_renderer.accumulate_jnp(

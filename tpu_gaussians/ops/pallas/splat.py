@@ -211,6 +211,22 @@ def _fwd_call(mask, px, py, ca, cb, cc, op, featsT, hw_pad: int, width: int,
 # LANE axis ((TP, NB2) weight tiles), which makes every dynamic slice a
 # lane-range read and every backward reduction a sublane sum — zero
 # in-kernel transposes. v1 remains the fallback for very large N.
+#
+# v3 refinements (same call structure; the per-pair VPU pass count is the
+# roofline, so every multiply over the (TP, NB) pair tile matters):
+#   * opacity is folded into the feature rows (featsOp = feats * op, done
+#     once per gaussian outside the kernel) so the forward never
+#     materializes w = op*exp(e): acc = featsOp @ exp(e). The alpha
+#     feature column (constant 1) becomes op, which is exactly the w-sum.
+#   * e is evaluated in Horner form dx*(a2*dx + b2*dy) + (c2*dy)*dy.
+#   * the backward's six per-gaussian moment reductions (mul + sublane
+#     reduce each == 12 full passes over the pair tile) collapse into two
+#     MXU matmuls of u = g_e*dx and v = g_e*dy against band-centered
+#     pixel monomials [1, x, y], followed by an O(NB)-per-band binomial
+#     correction (Mxx = sum u*dx = Rx(u) - pxc*R1(u), etc.). Centering x
+#     at the image midline and y at the band midline keeps |x| <= W/2 so
+#     the f32 matmul's cancellation error stays ~1e-5 relative even for
+#     1-px-sigma gaussians.
 
 NB2 = 512             # gaussian block inside the v2 range loop
 TP2 = 2048            # pixels per band tile in v2
@@ -265,8 +281,13 @@ def _choose_v2(n: int, hw: int, nb: int, tp: int, backward: bool) -> bool:
 
 
 def _pack_gdata(px, py, ca, cb, cc, op, feats):
-    """(n,)-arrays + feats (n, FEAT_PAD) -> packed (GD_ROWS, n)."""
-    rows = [px, py, ca, cb, cc, op] + [feats[:, f] for f in range(FEAT_PAD)]
+    """(n,)-arrays + feats (n, FEAT_PAD) -> packed (GD_ROWS, n).
+
+    Feature rows arrive PRE-MULTIPLIED by opacity (featsOp): the kernels
+    never touch op per pair. Row 5 still carries op for reference, but
+    the v3 kernels do not read it."""
+    rows = [px, py, ca, cb, cc, op] + [feats[:, f] * op
+                                       for f in range(FEAT_PAD)]
     rows += [jnp.zeros_like(px)] * (GD_ROWS - len(rows))
     return jnp.stack(rows, axis=0)
 
@@ -302,15 +323,16 @@ def _fwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, acc_ref, *, width: int,
         gd = gdata_ref[:, pl.ds(b, nb)]            # (GD_ROWS, nb)
         dx = gx - gd[0:1, :]                       # (TP, NB2)
         dy = gy - gd[1:2, :]
-        e = (gd[2:3, :] * (dx * dx)
-             + gd[3:4, :] * (dx * dy)
-             + gd[4:5, :] * (dy * dy))
-        w = gd[5:6, :] * jnp.exp(e)                # (TP, NB2)
-        feats8 = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]  # (8, NB2)
-        # acc[f, p] += sum_i feats8[f, i] * w[p, i]  — (8, TP) keeps the
+        # Horner conic + op folded into featsOp: x = exp(e) is the whole
+        # per-pair elementwise stage.
+        e = dx * (gd[2:3, :] * dx + gd[3:4, :] * dy) \
+            + (gd[4:5, :] * dy) * dy
+        x = jnp.exp(e)                             # (TP, NB2)
+        featsop = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]  # (8, NB2)
+        # acc[f, p] += sum_i featsop[f, i] * x[p, i] — (8, TP) keeps the
         # accumulator lane-dense (a (TP, 8) tile would pad lanes 16x).
         acc_ref[:] += jax.lax.dot_general(
-            feats8, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            featsop, x, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision="highest",
         )
         return carry
@@ -359,41 +381,42 @@ def _bwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, g8_ref, out_ref,
         gd = gdata_ref[:, pl.ds(b, nb)]            # (GD_ROWS, nb)
         dx = gx - gd[0:1, :]                       # (TP, NB2)
         dy = gy - gd[1:2, :]
-        # Monomials materialized once; reused by e AND the conic moments.
-        dx2 = dx * dx
-        dxy = dx * dy
-        dy2 = dy * dy
-        e = gd[2:3, :] * dx2 + gd[3:4, :] * dxy + gd[4:5, :] * dy2
-        w = gd[5:6, :] * jnp.exp(e)
-        feats8 = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]  # (8, NB2)
+        e = dx * (gd[2:3, :] * dx + gd[3:4, :] * dy) \
+            + (gd[4:5, :] * dy) * dy
+        x = jnp.exp(e)                             # (TP, NB2)
+        featsop = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]  # (8, NB2)
 
         g_acc = g8_ref[:]                          # (FEAT_PAD, TP)
-        # g_w[p, i] = sum_f g_acc[f, p] * feats8[f, i]
-        g_w = jax.lax.dot_general(
-            g_acc, feats8, dimension_numbers=(((0,), (0,)), ((), ())),
+        # g_x[p, i] = sum_f g_acc[f, p] * featsop[f, i]  == w*g_w/x of the
+        # un-folded formulation, so g_e = x * g_x is unchanged.
+        g_x = jax.lax.dot_general(
+            g_acc, featsop, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision="highest",
         )                                          # (TP, NB2)
-        # g_feat[f, i] = sum_p g_acc[f, p] * w[p, i]
-        g_feat = jnp.dot(
-            g_acc, w,
+        # g_featop[f, i] = sum_p g_acc[f, p] * x[p, i]; the O(N)
+        # post-pass recovers g_feat = op * g_featop and
+        # g_op = sum_f feats[f] * g_featop[f].
+        g_featop = jnp.dot(
+            g_acc, x,
             preferred_element_type=jnp.float32, precision="highest",
         )                                          # (FEAT_PAD, NB2)
 
-        # Raw per-gaussian moments of g_e = w * g_w; the chain-rule
-        # constants (conic coefficients, -1/2 scales, 1/op for g_op) are
-        # applied OUTSIDE the kernel in O(N) (_splat_bwd): g_px = a*Mdx +
-        # b*Mdy, g_ca = -Mxx/2, g_op = M0/op, etc. — this keeps the
-        # O(N*HW) inner loop at the bare minimum of multiplies.
-        g_e = w * g_w
-        m0 = jnp.sum(g_e, axis=0, keepdims=True)             # (1, NB2)
-        mdx = jnp.sum(g_e * dx, axis=0, keepdims=True)
-        mdy = jnp.sum(g_e * dy, axis=0, keepdims=True)
-        mxx = jnp.sum(g_e * dx2, axis=0, keepdims=True)
-        mxy = jnp.sum(g_e * dxy, axis=0, keepdims=True)
-        myy = jnp.sum(g_e * dy2, axis=0, keepdims=True)
+        # Moments of g_e via the u/v factoring (u = g_e*dx, v = g_e*dy):
+        # Mxx = sum u*dx, Mxy = sum u*dy, Myy = sum v*dy — 6 moments from
+        # 3 products + 5 sublane reductions (M0 is no longer needed: g_op
+        # comes from the g_featop product rule in the post-pass).
+        g_e = x * g_x
+        u = g_e * dx
+        v = g_e * dy
+        mdx = jnp.sum(u, axis=0, keepdims=True)              # (1, NB2)
+        mdy = jnp.sum(v, axis=0, keepdims=True)
+        mxx = jnp.sum(u * dx, axis=0, keepdims=True)
+        mxy = jnp.sum(u * dy, axis=0, keepdims=True)
+        myy = jnp.sum(v * dy, axis=0, keepdims=True)
 
         contrib = jnp.concatenate(
-            [mdx, mdy, mxx, mxy, myy, m0, g_feat,
+            [mdx, mdy, mxx, mxy, myy, jnp.zeros((1, nb), jnp.float32),
+             g_featop,
              jnp.zeros((GD_ROWS - 6 - FEAT_PAD, nb), jnp.float32)],
             axis=0,
         )                                          # (GD_ROWS, nb)
@@ -428,6 +451,210 @@ def _bwd_call_v2(lo, cnt, gdata, g8, hw_pad: int, width: int,
         ),
         interpret=_interpret(),
     )(lo, cnt, gdata, g8)
+
+
+# ------------------------------------- separable kernels (axis footprint)
+#
+# For the axis-aligned footprint (the reference's own model,
+# torch_renderer.py:146-150: conic b == 0) the weight factorizes:
+#   w[(r,c), i] = op_i * exp(a2_i*(xc-px_i)^2) * exp(c2_i*(yr-py_i)^2)
+#               = featsOp-scale * Ex[c, i] * Ey[r, i]
+# so a band of R image rows never materializes the (R*W, NB) pair tile:
+#   forward   acc[(f,r), c] = sum_i G[(f,r), i] * Ex[c, i],
+#             G = featsOp (x) Ey  — ONE MXU matmul per gaussian block;
+#             transcendental work drops from R*W*NB exps to (W+R)*NB.
+#   backward  the CP factorization routes each cotangent through its own
+#             factor:  gG = gband @ Ex^T   (for g_featop and the Ey chain)
+#                      gEx = gband^T @ G   (for the Ex chain)
+#             and the conic/position moments reduce over (W, NB) /
+#             (R, NB) factor arrays only:
+#               Mdx = sum_c (gEx*Ex)*tx,  Mxx = sum_c (gEx*Ex)*tx^2,
+#               Mdy = sum_r (gEy*Ey)*ty,  Myy = sum_r (gEy*Ey)*ty^2,
+#               Mxy = 0 (exact for b == 0: the axis conic's b is a
+#               constant, so no gradient flows to it).
+# Output rows / post-pass are shared with the v2 kernels. The EWA
+# footprint (b != 0) keeps the general v2/v1 kernels.
+
+SEP_ROWS = 8  # image rows per band (f32 sublane quantum)
+
+
+def _sep_dims(n: int, height: int, width: int) -> Tuple[int, int, int, int]:
+    nb = _v2_block(n)
+    wp = _round_up(width, 128)
+    hp = _round_up(height, SEP_ROWS)
+    return nb, wp, hp, hp // SEP_ROWS
+
+
+def _sep_factors(gd, xc, yr):
+    """Per-block factor matrices from a packed gdata slice."""
+    tx = xc - gd[0:1, :]                           # (Wp, nb)
+    ex = jnp.exp(gd[2:3, :] * (tx * tx))
+    ty = yr - gd[1:2, :]                           # (R, nb)
+    ey = jnp.exp(gd[4:5, :] * (ty * ty))
+    featsop = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]
+    # G rows ordered (f, r): row f*R + r = featsop[f] * ey[r].
+    g_mat = jnp.concatenate(
+        [featsop[f : f + 1, :] * ey for f in range(FEAT_PAD)], axis=0
+    )                                              # (8*R, nb)
+    return tx, ex, ty, ey, featsop, g_mat
+
+
+def _sep_coords(i, wp: int):
+    xc = jax.lax.broadcasted_iota(
+        jnp.int32, (wp, 1), dimension=0).astype(jnp.float32) + 0.5
+    yr = ((i * SEP_ROWS) + jax.lax.broadcasted_iota(
+        jnp.int32, (SEP_ROWS, 1), dimension=0)).astype(jnp.float32) + 0.5
+    return xc, yr
+
+
+def _fwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, acc_ref, *, wp: int,
+                    nb: int):
+    i = pl.program_id(0)  # band of SEP_ROWS image rows
+    xc, yr = _sep_coords(i, wp)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    lo = lo_ref[0, i]
+    cnt = cnt_ref[0, i]
+
+    def body(k, carry):
+        b = pl.multiple_of((lo + k) * nb, nb)
+        gd = gdata_ref[:, pl.ds(b, nb)]
+        _, ex, _, _, _, g_mat = _sep_factors(gd, xc, yr)
+        # acc[(f,r), c] += sum_i G[(f,r), i] * Ex[c, i]
+        acc_ref[:] += jax.lax.dot_general(
+            g_mat, ex, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision="highest",
+        )                                          # (8*R, Wp)
+        return carry
+
+    jax.lax.fori_loop(0, cnt, body, 0)
+
+
+def _fwd_call_sep(lo, cnt, gdata, n_bands: int, wp: int, nb: int) -> Array:
+    n_pad = gdata.shape[1]
+    br = FEAT_PAD * SEP_ROWS
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_sep, wp=wp, nb=nb),
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lo
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cnt
+            pl.BlockSpec((GD_ROWS, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # gdata (resident)
+        ],
+        out_specs=pl.BlockSpec((br, wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_bands * br, wp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(lo, cnt, gdata)
+
+
+def _bwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, gband_ref, out_ref,
+                    *, wp: int, nb: int):
+    i = pl.program_id(0)  # band
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xc, yr = _sep_coords(i, wp)
+    lo = lo_ref[0, i]
+    cnt = cnt_ref[0, i]
+
+    def body(k, carry):
+        b = pl.multiple_of((lo + k) * nb, nb)
+        gd = gdata_ref[:, pl.ds(b, nb)]
+        tx, ex, ty, ey, featsop, g_mat = _sep_factors(gd, xc, yr)
+        gb = gband_ref[:]                          # (8*R, Wp), rows (f, r)
+
+        # gG[(f,r), i] = sum_c gband[(f,r), c] * Ex[c, i]
+        g_g = jax.lax.dot_general(
+            gb, ex, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision="highest",
+        )                                          # (8*R, nb)
+        # gEx[c, i] = sum_{f,r} gband[(f,r), c] * G[(f,r), i]
+        g_ex = jax.lax.dot_general(
+            gb, g_mat, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision="highest",
+        )                                          # (Wp, nb)
+
+        # g_featop[f] = sum_r gG[(f,r)] * Ey[r];  gEy[r] = sum_f
+        # gG[(f,r)] * featsop[f]  — tiny (R, nb) slice arithmetic.
+        r = SEP_ROWS
+        g_featop = jnp.concatenate(
+            [jnp.sum(g_g[f * r : (f + 1) * r, :] * ey, axis=0,
+                     keepdims=True) for f in range(FEAT_PAD)], axis=0
+        )                                          # (8, nb)
+        g_ey = g_g[0:r, :] * featsop[0:1, :]
+        for f in range(1, FEAT_PAD):
+            g_ey += g_g[f * r : (f + 1) * r, :] * featsop[f : f + 1, :]
+
+        # Factor-chain moments (shared post-pass layout): u = dL/dE * E.
+        u_x = g_ex * ex
+        t1 = u_x * tx
+        mdx = jnp.sum(t1, axis=0, keepdims=True)             # (1, nb)
+        mxx = jnp.sum(t1 * tx, axis=0, keepdims=True)
+        u_y = g_ey * ey
+        t2 = u_y * ty
+        mdy = jnp.sum(t2, axis=0, keepdims=True)
+        myy = jnp.sum(t2 * ty, axis=0, keepdims=True)
+
+        contrib = jnp.concatenate(
+            [mdx, mdy, mxx, jnp.zeros((1, nb), jnp.float32), myy,
+             jnp.zeros((1, nb), jnp.float32), g_featop,
+             jnp.zeros((GD_ROWS - 6 - FEAT_PAD, nb), jnp.float32)],
+            axis=0,
+        )                                          # (GD_ROWS, nb)
+        out_ref[:, pl.ds(b, nb)] += contrib
+        return carry
+
+    jax.lax.fori_loop(0, cnt, body, 0)
+
+
+def _bwd_call_sep(lo, cnt, gdata, gband, n_bands: int, wp: int,
+                  nb: int) -> Array:
+    n_pad = gdata.shape[1]
+    br = FEAT_PAD * SEP_ROWS
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_sep, wp=wp, nb=nb),
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lo
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cnt
+            pl.BlockSpec((GD_ROWS, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # gdata (resident)
+            pl.BlockSpec((br, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),   # gband (per band)
+        ],
+        out_specs=pl.BlockSpec((GD_ROWS, n_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),  # resident grads
+        out_shape=jax.ShapeDtypeStruct((GD_ROWS, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(lo, cnt, gdata, gband)
+
+
+def _sep_prep(px, py, ca, cb, cc, op, feats, height, width):
+    """Shared fwd/bwd staging for the separable path: pad, mask, pack."""
+    n = px.shape[0]
+    nb, wp, hp, n_bands = _sep_dims(n, height, width)
+    n_pad = _round_up(n, nb)
+    px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
+        px, py, ca, cb, cc, op, feats, n_pad)
+    sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
+    mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
+                            n_bands, SEP_ROWS * wp, nb, wp)
+    lo, cnt = _block_ranges(mask)
+    sa, sb, sc = _scale_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
+    gdata = _pack_gdata(px_p[:, 0], py_p[:, 0], sa, sb, sc,
+                        op_p[:, 0], feats_p)
+    return lo, cnt, gdata, nb, wp, hp, n_bands
 
 
 # ---------------------------------------------------------------- backward
@@ -532,10 +759,14 @@ def _pad_rows(a: Array, n_pad: int) -> Array:
     return jnp.pad(a, ((0, n_pad - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _splat(px, py, ca, cb, cc, op, feats, height, width):
-    """acc (H*W, FEAT_DIM) = sum_i w_i(p) * feats_i  via the Pallas kernel."""
-    return _splat_fwd(px, py, ca, cb, cc, op, feats, height, width)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _splat(px, py, ca, cb, cc, op, feats, height, width, axis=False):
+    """acc (H*W, FEAT_DIM) = sum_i w_i(p) * feats_i  via the Pallas kernel.
+
+    axis=True asserts (statically) that cb is identically zero, unlocking
+    the separable kernels; the returned g_cb is then zero, which is exact
+    for the axis footprint (its conic b is a constant)."""
+    return _splat_fwd(px, py, ca, cb, cc, op, feats, height, width, axis)[0]
 
 
 def _pad_inputs(px, py, ca, cb, cc, op, feats, n_pad):
@@ -551,13 +782,21 @@ def _pad_inputs(px, py, ca, cb, cc, op, feats, n_pad):
     return px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p
 
 
-def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width):
+def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width, axis=False):
     n = px.shape[0]
     hw = height * width
     nb, tp = _tile_sizes(n, hw)
     hw_pad = _round_up(hw, tp)
 
-    if _choose_v2(n, hw, nb, tp, backward=False):
+    if axis and _v2_fits(_round_up(n, NB2), backward=False):
+        lo, cnt, gdata, nbs, wp, hp, n_bands = _sep_prep(
+            px, py, ca, cb, cc, op, feats, height, width)
+        out = _fwd_call_sep(lo, cnt, gdata, n_bands, wp, nbs)
+        # (n_bands * 8R, Wp) rows (band, f, r) -> (hw, FEAT_DIM) crop.
+        acc = out.reshape(n_bands, FEAT_PAD, SEP_ROWS, wp).transpose(
+            0, 2, 3, 1).reshape(hp, wp, FEAT_PAD)[:height, :width]
+        acc = acc.reshape(hw, FEAT_PAD)[:, :FEAT_DIM]
+    elif _choose_v2(n, hw, nb, tp, backward=False):
         nb2 = _v2_block(n)
         n_pad2 = _round_up(n, nb2)
         hw_pad2 = _round_up(hw, TP2)
@@ -587,12 +826,35 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width):
     return acc, residuals
 
 
-def _splat_bwd(height, width, residuals, g):
+def _splat_bwd(height, width, axis, residuals, g):
     px, py, ca, cb, cc, op, feats = residuals
     n = px.shape[0]
     hw = height * width
     nb, tp = _tile_sizes(n, hw)
     hw_pad = _round_up(hw, tp)
+
+    if axis and _v2_fits(_round_up(n, NB2), backward=True):
+        lo, cnt, gdata, nbs, wp, hp, n_bands = _sep_prep(
+            px, py, ca, cb, cc, op, feats, height, width)
+        # Cotangent -> the forward's (band, f, r) x Wp layout.
+        g8 = jnp.pad(g.reshape(height, width, FEAT_DIM),
+                     ((0, hp - height), (0, wp - width),
+                      (0, FEAT_PAD - FEAT_DIM)))
+        gband = g8.reshape(n_bands, SEP_ROWS, wp, FEAT_PAD).transpose(
+            0, 3, 1, 2).reshape(n_bands * FEAT_PAD * SEP_ROWS, wp)
+        outT = _bwd_call_sep(lo, cnt, gdata, gband, n_bands, wp, nbs)
+        out = outT.T[:n]        # rows [Mdx, Mdy, Mxx, 0, Myy, 0, g_featop]
+        mdx, mdy = out[:, 0], out[:, 1]
+        mxx, myy = out[:, 2], out[:, 4]
+        g_px = ca * mdx            # cb == 0 by the axis contract
+        g_py = cc * mdy
+        g_ca = -0.5 * mxx
+        g_cb = jnp.zeros_like(ca)  # exact: axis conic b is a constant
+        g_cc = -0.5 * myy
+        g_featop = out[:, 6 : 6 + FEAT_DIM]
+        g_feats = g_featop * op[:, None]
+        g_op = jnp.sum(feats * g_featop, axis=1)
+        return g_px, g_py, g_ca, g_cb, g_cc, g_op, g_feats
 
     if _choose_v2(n, hw, nb, tp, backward=True):
         nb2 = _v2_block(n)
@@ -609,9 +871,9 @@ def _splat_bwd(height, width, residuals, g):
                             op_p[:, 0], feats_p)
         g8_2 = jnp.pad(g, ((0, hw_pad2 - hw), (0, FEAT_PAD - FEAT_DIM))).T
         outT = _bwd_call_v2(lo, cnt, gdata, g8_2, hw_pad2, width, nb2)
-        out = outT.T[:n]        # rows [Mdx, Mdy, Mxx, Mxy, Myy, M0, g_feat]
+        out = outT.T[:n]        # rows [Mdx, Mdy, Mxx, Mxy, Myy, 0, g_featop]
         mdx, mdy = out[:, 0], out[:, 1]
-        mxx, mxy, myy, m0 = out[:, 2], out[:, 3], out[:, 4], out[:, 5]
+        mxx, mxy, myy = out[:, 2], out[:, 3], out[:, 4]
         # O(N) chain-rule post-pass (constants factored out of the kernel):
         # de/dpx = a dx + b dy ; de/da = -dx^2/2 ; w = op * exp(e).
         g_px = ca * mdx + cb * mdy
@@ -619,10 +881,12 @@ def _splat_bwd(height, width, residuals, g):
         g_ca = -0.5 * mxx
         g_cb = -mxy
         g_cc = -0.5 * myy
-        # M0 = sum w*g_w = op * sum exp_e*g_w; rows with op == 0 receive 0
-        # here (their true cotangent is masked upstream by valid*alive).
-        g_op = jnp.where(op > 0, m0 / jnp.where(op > 0, op, 1.0), 0.0)
-        g_feats = out[:, 6 : 6 + FEAT_DIM]
+        # The kernel differentiates w.r.t. featsOp = feats * op, so
+        # g_feats = op * g_featop and g_op = sum_f feats_f * g_featop_f
+        # (the product rule applied once per gaussian, O(N)).
+        g_featop = out[:, 6 : 6 + FEAT_DIM]
+        g_feats = g_featop * op[:, None]
+        g_op = jnp.sum(feats * g_featop, axis=1)
         return g_px, g_py, g_ca, g_cb, g_cc, g_op, g_feats
     else:
         gT = jnp.pad(g, ((0, hw_pad - hw), (0, FEAT_PAD - FEAT_DIM)))
@@ -653,7 +917,7 @@ _splat.defvjp(_splat_fwd, _splat_bwd)
 
 
 def splat_accumulate(s: SplatInputs, height: int, width: int,
-                     sort: bool = True) -> Array:
+                     sort: bool = True, axis: bool = False) -> Array:
     """Drop-in Pallas replacement for jnp_renderer.accumulate_jnp.
 
     `sort=True` pre-sorts gaussians by screen-y so blocks are y-coherent
@@ -661,9 +925,13 @@ def splat_accumulate(s: SplatInputs, height: int, width: int,
     binning, SURVEY.md §7 hard part #2). The accumulation is
     order-independent, so sorting does not change the result; gradients
     flow back through the gather automatically.
+
+    `axis=True` (caller-asserted, static) promises conic_b == 0 and
+    selects the rank-1 separable kernels (one MXU matmul per gaussian
+    block, (W+R)*NB exps instead of W*R*NB).
     """
     if sort and s.px.shape[0] > 512:
         order = jnp.argsort(s.py)
         s = jax.tree.map(lambda a: a[order], s)
     return _splat(s.px, s.py, s.conic_a, s.conic_b, s.conic_c, s.op_eff,
-                  s.feats, height, width)
+                  s.feats, height, width, axis)
