@@ -81,13 +81,13 @@ def main():
     results = {}
 
     def f_bin(si, zz):
-        slots, cnt = srt._bin_pairs_2d(
+        _, slots, cnt = srt._bin_pairs_2d(
             si.px, si.py, si.sigma_x, si.sigma_y, si.op_eff, zz,
             tiles_x, tiles_y, cap, W, H)
         return slots.astype(jnp.float32), cnt
     results["bin_pairs_2d"] = timeit(jax.jit(f_bin), (s, z))
 
-    slots, cnt = jax.jit(lambda si, zz: srt._bin_pairs_2d(
+    order, slots, cnt = jax.jit(lambda si, zz: srt._bin_pairs_2d(
         si.px, si.py, si.sigma_x, si.sigma_y, si.op_eff, zz,
         tiles_x, tiles_y, cap, W, H))(s, z)
     jax.block_until_ready((slots, cnt))

@@ -101,7 +101,7 @@ def main():
     results["rects"] = marginal(f_rects, (s, z))
 
     def f_bin(si, zz):
-        slots, cnt = srt._bin_pairs_2d(
+        _, slots, cnt = srt._bin_pairs_2d(
             si.px, si.py, si.sigma_x, si.sigma_y, si.op_eff, zz,
             tiles_x, tiles_y, cap, W, H)
         return slots.astype(jnp.float32)

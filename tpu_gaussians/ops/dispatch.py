@@ -62,7 +62,8 @@ def render_accum(
                           and n >= pallas_binned.BINNED_MIN_N))
         if use_binned:
             acc = pallas_binned.splat_accumulate_binned(
-                s, config.height, config.width
+                s, config.height, config.width,
+                axis=(config.footprint == "axis"),
             )
         else:
             acc = pallas_splat.splat_accumulate(
@@ -101,6 +102,7 @@ def render_sorted(
         return pallas_sorted.sorted_composite_pallas(
             s, z, config.background_array(), config.height, config.width,
             band_capacity=config.sorted_band_capacity,
+            axis=(config.footprint == "axis"),
         )
     return jnp_renderer.composite_sorted(
         s, z, config.background_array(), config.height, config.width,

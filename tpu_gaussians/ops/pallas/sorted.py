@@ -133,8 +133,34 @@ def _zkey_desc(z: Array) -> Array:
     return jnp.where(neg, ~bits, bits | jnp.uint32(0x80000000))
 
 
+def _tile_coords_sep(tx, ty):
+    """Per-tile factored coordinates: column centers (1, TWC) and row
+    centers (1, TH) for the separable (axis-footprint) alpha build."""
+    xc = (tx * TWC + jax.lax.broadcasted_iota(
+        jnp.int32, (1, TWC), dimension=1)).astype(jnp.float32) + 0.5
+    yr = (ty * TH + jax.lax.broadcasted_iota(
+        jnp.int32, (1, TH), dimension=1)).astype(jnp.float32) + 0.5
+    return xc, yr
+
+
+def _a_raw_sep(gd, xc, yr):
+    """Factored per-pair raw alpha for conic b == 0: a = op*Ex*Ey built
+    from (sub, TWC) and (sub, TH) factors — (TWC+TH) exps per gaussian
+    instead of TPS. Returns (a_raw, txd, tyd) (txd/tyd for the backward's
+    moment factors). Tile lanes are r-major (l = r*TWC + c)."""
+    txd = xc - gd[:, 0:1]                        # (sub, TWC)
+    exf = jnp.exp(-0.5 * gd[:, 2:3] * (txd * txd))
+    tyd = yr - gd[:, 1:2]                        # (sub, TH)
+    eyop = gd[:, 5:6] * jnp.exp(-0.5 * gd[:, 4:5] * (tyd * tyd))
+    a_raw = jnp.concatenate(
+        [eyop[:, r : r + 1] * exf for r in range(TH)], axis=1
+    )                                            # (sub, TPS)
+    return a_raw, txd, tyd
+
+
 def _sorted_kernel(cnt_ref, gdense_ref, acc_ref, rgbw_ref, trans_ref,
-                   *, tiles_x: int, chunks_per_tile: int):
+                   *, tiles_x: int, chunks_per_tile: int,
+                   axis: bool = False):
     i = pl.program_id(0)  # tile
     j = pl.program_id(1)  # chunk within tile
 
@@ -152,6 +178,8 @@ def _sorted_kernel(cnt_ref, gdense_ref, acc_ref, rgbw_ref, trans_ref,
         pix = jax.lax.broadcasted_iota(jnp.int32, (1, TPS), dimension=1)
         gx = (tx * TWC + pix % TWC).astype(jnp.float32) + 0.5   # (1, TP)
         gy = (ty * TH + pix // TWC).astype(jnp.float32) + 0.5
+        if axis:
+            xc, yr = _tile_coords_sep(tx, ty)
 
         trans = trans_ref[:]                     # (1, TP)
         rgbw = rgbw_ref[:]
@@ -169,14 +197,17 @@ def _sorted_kernel(cnt_ref, gdense_ref, acc_ref, rgbw_ref, trans_ref,
         sub = NBS // 4
         for sb in range(4):
             gd = gdense_ref[sb * sub:(sb + 1) * sub, :]  # (sub, GD_ROWS)
-            dx = gx - gd[:, 0:1]                 # (sub, TP)
-            dy = gy - gd[:, 1:2]
-            e = -0.5 * (gd[:, 2:3] * dx * dx
-                        + 2.0 * gd[:, 3:4] * dx * dy
-                        + gd[:, 4:5] * dy * dy)
-            a_s = gd[:, 5:6] * jnp.exp(e)
-            a_s = jnp.where(a_s < ALPHA_CUTOFF, 0.0,
-                            jnp.clip(a_s, 0.0, A_MAX))
+            if axis:
+                a_raw, _, _ = _a_raw_sep(gd, xc, yr)
+            else:
+                dx = gx - gd[:, 0:1]             # (sub, TP)
+                dy = gy - gd[:, 1:2]
+                e = -0.5 * (gd[:, 2:3] * dx * dx
+                            + 2.0 * gd[:, 3:4] * dx * dy
+                            + gd[:, 4:5] * dy * dy)
+                a_raw = gd[:, 5:6] * jnp.exp(e)
+            a_s = jnp.where(a_raw < ALPHA_CUTOFF, 0.0,
+                            jnp.clip(a_raw, 0.0, A_MAX))
             contrib = _exclusive_cumprod(1.0 - a_s, axis=0) * a_s
             feats = gd[:, 6:14]                  # (sub, 8) [r,g,b,1,z,...]
             # block[f, p] = sum_i feats[i, f] * contrib[i, p]; column 3 of
@@ -285,7 +316,9 @@ def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
          src[t,r] = r + Q[c(r),t],  Q = c*L + P - cumHexcl
        where c(r) counts chunks exhausted before rank r (compare-reduce).
 
-    Returns (slots (n_tiles*cap,) int32 indices [n == dead row],
+    Returns (order (n,) priority permutation,
+             slots (n_tiles*cap,) int32 indices into the PRIORITY-ORDERED
+             packed table (n == dead row; see pack_gdataT_prio),
              cnt (1, n_tiles) int32 per-tile list lengths)."""
     n = px.shape[0]
     n_tiles = tiles_x * tiles_y
@@ -368,24 +401,48 @@ def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
 
     rank = jnp.arange(cap, dtype=jnp.int32)
     # src[t, r] = r + q[c(r), t], with the c(r) selection telescoped into
-    # a fused compare-reduce over chunks (no 0.5M-element table gather):
+    # a compare-accumulate over chunks (no 0.5M-element table gather):
     # q[c(r),t] = q[0,t] + sum_{c>=1} (q[c,t]-q[c-1,t]) * [cum_h[c-1,t]<=r]
-    dq = q[1:] - q[:-1]                            # (C-1, T)
-    sel = (cum_h[:-1, :, None] <= rank[None, None, :])
-    qsel = q[0][:, None] + jnp.sum(
-        dq[:, :, None] * sel, axis=0, dtype=jnp.int32)   # (T, cap)
+    # Accumulated with a fori_loop so peak memory stays O(T*cap): the
+    # one-shot (C-1, T, cap) broadcast is gigabytes at 1024^2 frames and
+    # OOMs the compiler.
+    q0 = jnp.broadcast_to(q[0][:, None], (n_tiles, cap)).astype(jnp.int32)
+    if c_chunks > 1:
+        dq = q[1:] - q[:-1]                        # (C-1, T)
+        cum_hx = cum_h[:-1]                        # (C-1, T)
+
+        def _tele(c, acc):
+            return acc + dq[c][:, None] * (
+                cum_hx[c][:, None] <= rank[None, :]).astype(jnp.int32)
+
+        qsel = jax.lax.fori_loop(0, c_chunks - 1, _tele, q0)
+    else:
+        qsel = q0
     src = rank[None, :] + qsel
 
     keep = rank[None, :] < cnt[:, None]
     src = jnp.clip(src, 0, c_chunks * chunk_l - 1)
-    # Recover the ORIGINAL gaussian index: sorted key low bits -> local
-    # pair index -> priority rank -> order[rank].
+    # Recover the PRIORITY-RANK index: sorted key low bits -> local pair
+    # index -> priority rank. Slots index the priority-permuted packed
+    # table (pack_gdataT_prio), NOT the original order: mapping back via
+    # order[g_rank] here would be a second (tiles*cap)-element gather,
+    # measured ~7 ms at 1M slots; permuting the n packed rows once is a
+    # cheap row gather instead.
     m_sel = key_s.reshape(-1)[src] & ((1 << lbits) - 1)
     g_rank = (src // chunk_l) * m_per + m_sel // k
-    slots = jnp.where(keep, order[jnp.clip(g_rank, 0, n - 1)],
-                      n).reshape(-1)
+    slots = jnp.where(keep, jnp.clip(g_rank, 0, n - 1), n).reshape(-1)
     # (1, n_tiles): 2D so SMEM blocks stay legal under vmap batching.
-    return slots, cnt[None, :]
+    return order, slots, cnt[None, :]
+
+
+def pack_gdataT_prio(s: SplatInputs, order: Array) -> Array:
+    """pack_gdataT rows permuted to priority order (row i = gaussian
+    order[i]; dead row kept last). One n-row gather, so slot lists can
+    index by priority rank directly — gradients flow through both
+    gathers (row gathers are ~free on this runtime; element gathers are
+    not, see _bin_pairs_2d)."""
+    packed = pack_gdataT(s)
+    return jnp.concatenate([packed[order], packed[-1:]], axis=0)
 
 
 def pack_gdataT(s: SplatInputs) -> Array:
@@ -438,6 +495,7 @@ def moment_postpass(gdense: Array, raw: Array) -> Array:
 def sorted_composite_pallas(
     s: SplatInputs, z_cam: Array, background: Array,
     height: int, width: int, band_capacity: int = 0,
+    axis: bool = False,
 ) -> Tuple[Array, Array]:
     """Depth-sorted forward render -> (image (H,W,3), alpha (H,W))."""
     n = s.px.shape[0]
@@ -460,15 +518,15 @@ def sorted_composite_pallas(
     # gradient flows through it (same stance as CUDA 3DGS); stop_gradient
     # keeps AD away from its non-differentiable bit tricks.
     stop = jax.lax.stop_gradient
-    slots, cnt = _bin_pairs_2d(
+    order, slots, cnt = _bin_pairs_2d(
         stop(s.px), stop(s.py), stop(s.sigma_x), stop(s.sigma_y),
         stop(s.op_eff), stop(z_cam),
         tiles_x, tiles_y, band_capacity, width, height)
 
-    gdense = pack_gdataT(s)[slots]                        # (tiles*cap, 16)
+    gdense = pack_gdataT_prio(s, order)[slots]            # (tiles*cap, 16)
 
     acc = _sorted_core(gdense, cnt.astype(jnp.int32), tiles_x, n_tiles,
-                       chunks_per_tile)
+                       chunks_per_tile, axis)
 
     full = crop_tiled_acc(acc, tiles_y, tiles_x, height, width)
     rgb = full[..., :3]
@@ -478,10 +536,10 @@ def sorted_composite_pallas(
 
 
 def _sorted_fwd_call(gdense, cnt, tiles_x: int, n_tiles: int,
-                     chunks_per_tile: int) -> Array:
+                     chunks_per_tile: int, axis: bool = False) -> Array:
     return pl.pallas_call(
         functools.partial(_sorted_kernel, tiles_x=tiles_x,
-                          chunks_per_tile=chunks_per_tile),
+                          chunks_per_tile=chunks_per_tile, axis=axis),
         grid=(n_tiles, chunks_per_tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # cnt
@@ -507,7 +565,8 @@ def _sorted_fwd_call(gdense, cnt, tiles_x: int, n_tiles: int,
 
 def _sorted_bwd_kernel(cnt_ref, gdense_ref, acc_ref, g8_ref, out_ref,
                        trans_ref, u_ref, ctg_ref,
-                       *, tiles_x: int, chunks_per_tile: int):
+                       *, tiles_x: int, chunks_per_tile: int,
+                       axis: bool = False):
     """Fused backward of the sorted compositing kernel (SURVEY.md hard
     part #1 for the depth-sorted path; the BASELINE north star's
     "hand-fused backward ... per tile").
@@ -546,6 +605,8 @@ def _sorted_bwd_kernel(cnt_ref, gdense_ref, acc_ref, g8_ref, out_ref,
         pix = jax.lax.broadcasted_iota(jnp.int32, (1, TPS), dimension=1)
         gx = (tx * TWC + pix % TWC).astype(jnp.float32) + 0.5   # (1, TP)
         gy = (ty * TH + pix // TWC).astype(jnp.float32) + 0.5
+        if axis:
+            xc, yr = _tile_coords_sep(tx, ty)
 
         trans = trans_ref[:]                    # (1, TP)
         u_c = u_ref[:]
@@ -555,14 +616,21 @@ def _sorted_bwd_kernel(cnt_ref, gdense_ref, acc_ref, g8_ref, out_ref,
         sub = NBS // 4
         for sb in range(4):
             gd = gdense_ref[sb * sub:(sb + 1) * sub, :]  # (sub, GD_ROWS)
-            dx = gx - gd[:, 0:1]                # (sub, TP)
-            dy = gy - gd[:, 1:2]
-            dx2 = dx * dx
-            dxy = dx * dy
-            dy2 = dy * dy
-            e = -0.5 * (gd[:, 2:3] * dx2 + 2.0 * gd[:, 3:4] * dxy
-                        + gd[:, 4:5] * dy2)
-            a_raw = gd[:, 5:6] * jnp.exp(e)
+            if axis:
+                a_raw, txd, tyd = _a_raw_sep(gd, xc, yr)
+                dx = jnp.concatenate([txd] * TH, axis=1)     # (sub, TP)
+                dy = jnp.concatenate(
+                    [tyd[:, r : r + 1] * jnp.ones((1, TWC), jnp.float32)
+                     for r in range(TH)], axis=1)
+            else:
+                dx = gx - gd[:, 0:1]            # (sub, TP)
+                dy = gy - gd[:, 1:2]
+                dx2 = dx * dx
+                dxy = dx * dy
+                dy2 = dy * dy
+                e = -0.5 * (gd[:, 2:3] * dx2 + 2.0 * gd[:, 3:4] * dxy
+                            + gd[:, 4:5] * dy2)
+                a_raw = gd[:, 5:6] * jnp.exp(e)
             pass_g = (a_raw >= ALPHA_CUTOFF) & (a_raw <= A_MAX)
             a_s = jnp.where(a_raw < ALPHA_CUTOFF, 0.0,
                             jnp.clip(a_raw, 0.0, A_MAX))
@@ -581,11 +649,18 @@ def _sorted_bwd_kernel(cnt_ref, gdense_ref, acc_ref, g8_ref, out_ref,
             g_e = jnp.where(pass_g, a_s * g_a, 0.0)
 
             m0 = jnp.sum(g_e, axis=1, keepdims=True)     # (sub, 1)
-            mdx = jnp.sum(g_e * dx, axis=1, keepdims=True)
-            mdy = jnp.sum(g_e * dy, axis=1, keepdims=True)
-            mxx = jnp.sum(g_e * dx2, axis=1, keepdims=True)
-            mxy = jnp.sum(g_e * dxy, axis=1, keepdims=True)
-            myy = jnp.sum(g_e * dy2, axis=1, keepdims=True)
+            ux = g_e * dx
+            vy = g_e * dy
+            mdx = jnp.sum(ux, axis=1, keepdims=True)
+            mdy = jnp.sum(vy, axis=1, keepdims=True)
+            mxx = jnp.sum(ux * dx, axis=1, keepdims=True)
+            myy = jnp.sum(vy * dy, axis=1, keepdims=True)
+            if axis:
+                # The axis conic's b is a constant 0: g_cb is discarded
+                # upstream, so skip the cross moment.
+                mxy = jnp.zeros_like(m0)
+            else:
+                mxy = jnp.sum(ux * dy, axis=1, keepdims=True)
             # g_feat[i,f] = sum_p contrib[i,p] * g8[f,p]  (MXU)
             g_feat = jax.lax.dot_general(
                 contrib, g8, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -604,11 +679,11 @@ def _sorted_bwd_kernel(cnt_ref, gdense_ref, acc_ref, g8_ref, out_ref,
 
 
 def _sorted_bwd_call(gdense, cnt, acc, g8, tiles_x: int, n_tiles: int,
-                     chunks_per_tile: int) -> Array:
+                     chunks_per_tile: int, axis: bool = False) -> Array:
     rows = gdense.shape[0]
     return pl.pallas_call(
         functools.partial(_sorted_bwd_kernel, tiles_x=tiles_x,
-                          chunks_per_tile=chunks_per_tile),
+                          chunks_per_tile=chunks_per_tile, axis=axis),
         grid=(n_tiles, chunks_per_tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # cnt
@@ -637,25 +712,30 @@ def _sorted_bwd_call(gdense, cnt, acc, g8, tiles_x: int, n_tiles: int,
     )(cnt, gdense, acc, g8)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _sorted_core(gdense, cnt, tiles_x, n_tiles, chunks_per_tile):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _sorted_core(gdense, cnt, tiles_x, n_tiles, chunks_per_tile,
+                 axis=False):
     """acc (FEAT_PAD, n_tiles*TPS) from dense per-tile lists; row 3 of
     the output is 1 - T_final (== sum of contribs, exactly in real
-    arithmetic). Differentiable in gdense via the fused backward."""
-    return _sorted_fwd_call(gdense, cnt, tiles_x, n_tiles, chunks_per_tile)
+    arithmetic). Differentiable in gdense via the fused backward.
+    axis=True (caller-asserted conic b == 0) builds alphas from separable
+    factors ((TWC+TH) exps per gaussian instead of TPS)."""
+    return _sorted_fwd_call(gdense, cnt, tiles_x, n_tiles, chunks_per_tile,
+                            axis)
 
 
-def _sorted_core_fwd(gdense, cnt, tiles_x, n_tiles, chunks_per_tile):
-    acc = _sorted_fwd_call(gdense, cnt, tiles_x, n_tiles, chunks_per_tile)
+def _sorted_core_fwd(gdense, cnt, tiles_x, n_tiles, chunks_per_tile, axis):
+    acc = _sorted_fwd_call(gdense, cnt, tiles_x, n_tiles, chunks_per_tile,
+                           axis)
     return acc, (gdense, cnt, acc)
 
 
-def _sorted_core_bwd(tiles_x, n_tiles, chunks_per_tile, res, g_acc):
+def _sorted_core_bwd(tiles_x, n_tiles, chunks_per_tile, axis, res, g_acc):
     import numpy as np
 
     gdense, cnt, acc = res
     raw = _sorted_bwd_call(gdense, cnt, acc, g_acc, tiles_x, n_tiles,
-                           chunks_per_tile)
+                           chunks_per_tile, axis)
     g_cnt = np.zeros(cnt.shape, jax.dtypes.float0)
     return moment_postpass(gdense, raw), g_cnt
 

@@ -485,18 +485,36 @@ def _sep_dims(n: int, height: int, width: int) -> Tuple[int, int, int, int]:
     return nb, wp, hp, hp // SEP_ROWS
 
 
-def _sep_factors(gd, xc, yr):
-    """Per-block factor matrices from a packed gdata slice."""
+def _sep_group_selectors():
+    """Constant 0/1 selectors over the G row axis (l = f*R + r):
+    sel_f[l, f'] = [l//R == f'], sel_r[l, r'] = [l%R == r']."""
+    lanes = jax.lax.broadcasted_iota(
+        jnp.int32, (FEAT_PAD * SEP_ROWS, 1), 0)
+    sel_f = (lanes // SEP_ROWS == jax.lax.broadcasted_iota(
+        jnp.int32, (1, FEAT_PAD), 1)).astype(jnp.float32)
+    sel_r = (lanes % SEP_ROWS == jax.lax.broadcasted_iota(
+        jnp.int32, (1, SEP_ROWS), 1)).astype(jnp.float32)
+    return sel_f, sel_r
+
+
+def _sep_factors(gd, xc, yr, sel_f, sel_r):
+    """Per-block factor matrices from a packed gdata slice.
+
+    G is built with two group-expansion matmuls (sel @ X) rather than
+    per-f slice loops: the kernels are op-issue bound at these shapes, so
+    fewer, larger ops win."""
     tx = xc - gd[0:1, :]                           # (Wp, nb)
     ex = jnp.exp(gd[2:3, :] * (tx * tx))
     ty = yr - gd[1:2, :]                           # (R, nb)
     ey = jnp.exp(gd[4:5, :] * (ty * ty))
     featsop = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]
     # G rows ordered (f, r): row f*R + r = featsop[f] * ey[r].
-    g_mat = jnp.concatenate(
-        [featsop[f : f + 1, :] * ey for f in range(FEAT_PAD)], axis=0
-    )                                              # (8*R, nb)
-    return tx, ex, ty, ey, featsop, g_mat
+    featsrep = jnp.dot(sel_f, featsop,
+                       preferred_element_type=jnp.float32)   # (8R, nb)
+    eyrep = jnp.dot(sel_r, ey,
+                    preferred_element_type=jnp.float32)      # (8R, nb)
+    g_mat = featsrep * eyrep
+    return tx, ex, ty, ey, featsop, eyrep, featsrep, g_mat
 
 
 def _sep_coords(i, wp: int):
@@ -511,6 +529,7 @@ def _fwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, acc_ref, *, wp: int,
                     nb: int):
     i = pl.program_id(0)  # band of SEP_ROWS image rows
     xc, yr = _sep_coords(i, wp)
+    sel_f, sel_r = _sep_group_selectors()
     acc_ref[:] = jnp.zeros_like(acc_ref)
     lo = lo_ref[0, i]
     cnt = cnt_ref[0, i]
@@ -518,7 +537,7 @@ def _fwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, acc_ref, *, wp: int,
     def body(k, carry):
         b = pl.multiple_of((lo + k) * nb, nb)
         gd = gdata_ref[:, pl.ds(b, nb)]
-        _, ex, _, _, _, g_mat = _sep_factors(gd, xc, yr)
+        _, ex, _, _, _, _, _, g_mat = _sep_factors(gd, xc, yr, sel_f, sel_r)
         # acc[(f,r), c] += sum_i G[(f,r), i] * Ex[c, i]
         acc_ref[:] += jax.lax.dot_general(
             g_mat, ex, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -561,13 +580,15 @@ def _bwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, gband_ref, out_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     xc, yr = _sep_coords(i, wp)
+    sel_f, sel_r = _sep_group_selectors()
     lo = lo_ref[0, i]
     cnt = cnt_ref[0, i]
 
     def body(k, carry):
         b = pl.multiple_of((lo + k) * nb, nb)
         gd = gdata_ref[:, pl.ds(b, nb)]
-        tx, ex, ty, ey, featsop, g_mat = _sep_factors(gd, xc, yr)
+        tx, ex, ty, ey, featsop, eyrep, featsrep, g_mat = _sep_factors(
+            gd, xc, yr, sel_f, sel_r)
         gb = gband_ref[:]                          # (8*R, Wp), rows (f, r)
 
         # gG[(f,r), i] = sum_c gband[(f,r), c] * Ex[c, i]
@@ -582,7 +603,8 @@ def _bwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, gband_ref, out_ref,
         )                                          # (Wp, nb)
 
         # g_featop[f] = sum_r gG[(f,r)] * Ey[r];  gEy[r] = sum_f
-        # gG[(f,r)] * featsop[f]  — tiny (R, nb) slice arithmetic.
+        # gG[(f,r)] * featsop[f] — (R, nb) slice sums (measured faster
+        # than selector matmuls here: the contraction outputs are thin).
         r = SEP_ROWS
         g_featop = jnp.concatenate(
             [jnp.sum(g_g[f * r : (f + 1) * r, :] * ey, axis=0,
@@ -796,7 +818,10 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width, axis=False):
         acc = out.reshape(n_bands, FEAT_PAD, SEP_ROWS, wp).transpose(
             0, 2, 3, 1).reshape(hp, wp, FEAT_PAD)[:height, :width]
         acc = acc.reshape(hw, FEAT_PAD)[:, :FEAT_DIM]
-    elif _choose_v2(n, hw, nb, tp, backward=False):
+        # The backward reuses the staged (lo, cnt, gdata) instead of
+        # re-running pad/mask/pack.
+        return acc, (px, py, ca, cb, cc, op, feats, (lo, cnt, gdata))
+    if _choose_v2(n, hw, nb, tp, backward=False):
         nb2 = _v2_block(n)
         n_pad2 = _round_up(n, nb2)
         hw_pad2 = _round_up(hw, TP2)
@@ -822,20 +847,23 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width, axis=False):
                          cc_p, op_p, feats_p.T,
                          hw_pad, width, nb, tp)       # (FEAT_PAD, hw_pad)
         acc = acc8[:FEAT_DIM, :hw].T                  # (hw, FEAT_DIM)
-    residuals = (px, py, ca, cb, cc, op, feats)
-    return acc, residuals
+    return acc, (px, py, ca, cb, cc, op, feats, None)
 
 
 def _splat_bwd(height, width, axis, residuals, g):
-    px, py, ca, cb, cc, op, feats = residuals
+    px, py, ca, cb, cc, op, feats, prep = residuals
     n = px.shape[0]
     hw = height * width
     nb, tp = _tile_sizes(n, hw)
     hw_pad = _round_up(hw, tp)
 
     if axis and _v2_fits(_round_up(n, NB2), backward=True):
-        lo, cnt, gdata, nbs, wp, hp, n_bands = _sep_prep(
-            px, py, ca, cb, cc, op, feats, height, width)
+        if prep is not None:
+            lo, cnt, gdata = prep
+            nbs, wp, hp, n_bands = _sep_dims(n, height, width)
+        else:
+            lo, cnt, gdata, nbs, wp, hp, n_bands = _sep_prep(
+                px, py, ca, cb, cc, op, feats, height, width)
         # Cotangent -> the forward's (band, f, r) x Wp layout.
         g8 = jnp.pad(g.reshape(height, width, FEAT_DIM),
                      ((0, hp - height), (0, wp - width),
