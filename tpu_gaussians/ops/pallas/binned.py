@@ -7,9 +7,15 @@ the sorted path's 2D tile binner (ops/pallas/sorted.py _bin_pairs_2d,
 zsort=False — accumulation is order-independent, so lists are ordered by
 opacity DESCENDING instead of depth and capacity overflow drops the
 weakest gaussians) to build dense per-tile gaussian lists, and
-accumulates only true (gaussian, tile) overlaps. Measured 2-3x faster
-than the band kernels at 100k gaussians for fwd+bwd (1.9x @512^2,
-2.9x @1024^2).
+accumulates only true (gaussian, tile) overlaps.
+
+Layout: all per-slot data is TRANSPOSED — gdenseT (GD_ROWS, n_slots)
+with slots on the LANE axis. A row-major (n_slots, GD_ROWS) array pays
+an 8x HBM padding tax on TPU (16-lane rows tile-pad to 128), which both
+multiplied every gather/DMA byte by 8 and OOM'd 1024^2 frames; the
+transposed layout is lane-dense. The slot gather stays a row gather
+(fused by XLA into the transpose that follows it), and all per-slot
+post-pass arithmetic runs on dense (S,) rows.
 
 Parity: the binning cutoff is W_CULL (1e-14), the same conservative
 threshold the dense kernels cull with — when nothing is budget- or
@@ -23,16 +29,24 @@ only the tile_capacity STRONGEST gaussians (opacity-descending order).
 Force accum_binned="off" (RenderConfig / --accum_binned) for exactness
 at any cost.
 
-Backward: hand-fused per-tile kernel (recompute-w, like the v2 backward)
-emitting raw moments [Mdx, Mdy, Mxx, Mxy, Myy, M0] + g_feat per SLOT;
-the O(N) chain-rule post-pass applies conic constants, and the slot->
-gaussian scatter-add falls out of JAX AD through the list gather.
+Two kernel families behind one API:
+  general    any conic (EWA): per-pair recompute like the v2 band
+             kernels, pixels on sublanes.
+  separable  axis footprint (conic b == 0): rank-1 factors per tile,
+             w = op*Ex(c)*Ey(r) — one full-MXU matmul per chunk in the
+             forward (G2 = featsOp (x) Ey against Ex), factor-chain
+             cotangents in the backward, (TWC+TH) exps per gaussian
+             instead of TPS.
+
+Backward: hand-fused per-tile kernels (recompute, like the v2 backward)
+emitting raw moments + feature gradients per SLOT; the O(S) chain-rule
+post-pass applies conic constants, and the slot->gaussian scatter-add
+falls out of JAX AD through the list gather.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,8 +63,6 @@ from tpu_gaussians.ops.pallas.sorted import (
     _bin_pairs_2d,
     _k_pairs,
     crop_tiled_acc,
-    moment_postpass,
-    pack_gdataT,
     pack_gdataT_prio,
 )
 from tpu_gaussians.ops.pallas.splat import (
@@ -73,6 +85,21 @@ BINNED_MIN_N = 32_768
 ACCUM_PAIR_BUDGET = 24_000_000
 ACCUM_K_MIN = 16
 
+_LSUB = 128  # lane sub-block for the general kernels (bounds VMEM temps)
+
+
+def _tile_pixel_coords(i, tiles_x: int):
+    """Per-tile pixel centers on SUBLANES: (TPS, 1), p = r*TWC + c."""
+    ty_t = i // tiles_x
+    tx_t = i % tiles_x
+    pix = jax.lax.broadcasted_iota(jnp.int32, (TPS, 1), dimension=0)
+    gx = (tx_t * TWC + pix % TWC).astype(jnp.float32) + 0.5
+    gy = (ty_t * TH + pix // TWC).astype(jnp.float32) + 0.5
+    return gx, gy
+
+
+# ------------------------------------------------------ general kernels
+
 
 def _binned_fwd_kernel(cnt_ref, gdense_ref, acc_ref,
                        *, tiles_x: int, chunks_per_tile: int):
@@ -85,28 +112,22 @@ def _binned_fwd_kernel(cnt_ref, gdense_ref, acc_ref,
 
     @pl.when(j * NBS < cnt_ref[0, i])
     def _():
-        ty = i // tiles_x
-        tx = i % tiles_x
-        pix = jax.lax.broadcasted_iota(jnp.int32, (1, TPS), dimension=1)
-        gx = (tx * TWC + pix % TWC).astype(jnp.float32) + 0.5   # (1, TP)
-        gy = (ty * TH + pix // TWC).astype(jnp.float32) + 0.5
-
-        acc = acc_ref[:]
-        sub = NBS // 4
-        for sb in range(4):
-            gd = gdense_ref[sb * sub:(sb + 1) * sub, :]  # (sub, GD_ROWS)
-            dx = gx - gd[:, 0:1]                 # (sub, TP)
-            dy = gy - gd[:, 1:2]
-            e = -0.5 * (gd[:, 2:3] * dx * dx
-                        + 2.0 * gd[:, 3:4] * dx * dy
-                        + gd[:, 4:5] * dy * dy)
-            w = gd[:, 5:6] * jnp.exp(e)          # no cutoff: parity accum
-            feats = gd[:, 6:14]                  # (sub, 8)
+        gx, gy = _tile_pixel_coords(i, tiles_x)
+        acc = acc_ref[:]                     # (8, TPS)
+        for sb in range(NBS // _LSUB):
+            gd = gdense_ref[:, sb * _LSUB:(sb + 1) * _LSUB]
+            dx = gx - gd[0:1, :]             # (TPS, LSUB)
+            dy = gy - gd[1:2, :]
+            e = -0.5 * (gd[2:3, :] * dx * dx
+                        + 2.0 * gd[3:4, :] * dx * dy
+                        + gd[4:5, :] * dy * dy)
+            w = gd[5:6, :] * jnp.exp(e)      # no cutoff: parity accum
+            feats = gd[6:14, :]              # (8, LSUB)
             acc = acc + jax.lax.dot_general(
                 feats, w,
-                dimension_numbers=(((0,), (0,)), ((), ())),
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision="highest",
-            )                                    # (8, TP)
+            )                                # (8, TPS)
         acc_ref[:] = acc
 
 
@@ -119,89 +140,92 @@ def _binned_bwd_kernel(cnt_ref, gdense_ref, g8_ref, out_ref,
 
     @pl.when(j * NBS < cnt_ref[0, i])
     def _():
-        ty = i // tiles_x
-        tx = i % tiles_x
-        pix = jax.lax.broadcasted_iota(jnp.int32, (1, TPS), dimension=1)
-        gx = (tx * TWC + pix % TWC).astype(jnp.float32) + 0.5
-        gy = (ty * TH + pix // TWC).astype(jnp.float32) + 0.5
-        g8 = g8_ref[:]                           # (8, TP)
+        gx, gy = _tile_pixel_coords(i, tiles_x)
+        g8 = g8_ref[:]                       # (8, TPS)
 
-        sub = NBS // 4
-        for sb in range(4):
-            gd = gdense_ref[sb * sub:(sb + 1) * sub, :]
-            dx = gx - gd[:, 0:1]
-            dy = gy - gd[:, 1:2]
+        for sb in range(NBS // _LSUB):
+            gd = gdense_ref[:, sb * _LSUB:(sb + 1) * _LSUB]
+            dx = gx - gd[0:1, :]             # (TPS, LSUB)
+            dy = gy - gd[1:2, :]
             dx2 = dx * dx
             dxy = dx * dy
             dy2 = dy * dy
-            e = -0.5 * (gd[:, 2:3] * dx2 + 2.0 * gd[:, 3:4] * dxy
-                        + gd[:, 4:5] * dy2)
-            w = gd[:, 5:6] * jnp.exp(e)
-            feats = gd[:, 6:14]
+            e = -0.5 * (gd[2:3, :] * dx2 + 2.0 * gd[3:4, :] * dxy
+                        + gd[4:5, :] * dy2)
+            w = gd[5:6, :] * jnp.exp(e)
+            feats = gd[6:14, :]              # (8, LSUB)
 
-            # g_w[i,p] = sum_f feats[i,f] * g8[f,p]      (MXU)
-            g_w = jnp.dot(feats, g8,
-                          preferred_element_type=jnp.float32,
-                          precision="highest")   # (sub, TP)
-            g_e = w * g_w
-            m0 = jnp.sum(g_e, axis=1, keepdims=True)
-            mdx = jnp.sum(g_e * dx, axis=1, keepdims=True)
-            mdy = jnp.sum(g_e * dy, axis=1, keepdims=True)
-            mxx = jnp.sum(g_e * dx2, axis=1, keepdims=True)
-            mxy = jnp.sum(g_e * dxy, axis=1, keepdims=True)
-            myy = jnp.sum(g_e * dy2, axis=1, keepdims=True)
-            # g_feat[i,f] = sum_p w[i,p] * g8[f,p]       (MXU)
-            g_feat = jax.lax.dot_general(
-                w, g8, dimension_numbers=(((1,), (1,)), ((), ())),
+            # g_w[p,i] = sum_f g8[f,p] * feats[f,i]      (MXU)
+            g_w = jax.lax.dot_general(
+                g8, feats, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision="highest",
-            )                                    # (sub, 8)
-            out_ref[sb * sub:(sb + 1) * sub, :] = jnp.concatenate(
+            )                                # (TPS, LSUB)
+            g_e = w * g_w
+            m0 = jnp.sum(g_e, axis=0, keepdims=True)          # (1, LSUB)
+            mdx = jnp.sum(g_e * dx, axis=0, keepdims=True)
+            mdy = jnp.sum(g_e * dy, axis=0, keepdims=True)
+            mxx = jnp.sum(g_e * dx2, axis=0, keepdims=True)
+            mxy = jnp.sum(g_e * dxy, axis=0, keepdims=True)
+            myy = jnp.sum(g_e * dy2, axis=0, keepdims=True)
+            # g_feat[f,i] = sum_p g8[f,p] * w[p,i]        (MXU)
+            g_feat = jnp.dot(
+                g8, w,
+                preferred_element_type=jnp.float32, precision="highest",
+            )                                # (8, LSUB)
+            out_ref[:, sb * _LSUB:(sb + 1) * _LSUB] = jnp.concatenate(
                 [mdx, mdy, mxx, mxy, myy, m0, g_feat,
-                 jnp.zeros((sub, GD_ROWS - 6 - FEAT_PAD), jnp.float32)],
-                axis=1)
+                 jnp.zeros((GD_ROWS - 6 - FEAT_PAD, _LSUB), jnp.float32)],
+                axis=0)
 
 
 # ---------------------------------- separable kernels (axis footprint)
 #
 # Same rank-1 factorization as ops/pallas/splat.py's separable band
-# kernels, specialized to the 16x128 tile layout with gaussians on
-# sublanes: w[i,(r,c)] = op_i*exp(a2_i*tx^2)*exp(c2_i*ty^2), so a
-# 128-gaussian sub-block contributes via ONE full-128x128 MXU matmul
-#   acc[(f,r), c] += sum_i G2[i, f*TH+r] * Ex[i, c],
-# with G2 = featsOp (x) Ey built from (sub, TH) / (sub, 8) factors. The
-# backward routes cotangents through the factors (gG2 = Ex@gband^T,
-# gEx = G2@gband) and contracts the (f, r) lane groups with constant 0/1
-# selector matmuls. Exp count per sub-block drops from sub*TPS to
-# sub*(TWC+TH) (~14x). Requires conic b == 0 (the axis footprint; its b
-# is a constant so g_cb = 0 is exact); EWA keeps the general kernels.
-
-_SUB = 128  # gaussian sub-block (full MXU contraction depth)
+# kernels, specialized to the 16x128 tile layout with slots on LANES:
+# w[i,(r,c)] = op_i*exp(a2_i*tx^2)*exp(c2_i*ty^2), so a whole NBS chunk
+# contributes via ONE MXU matmul
+#   acc[(f,r), c] += sum_i G2[(f,r), i] * Ex[c, i],
+# with G2 = featsOp (x) Ey built by sublane-group expansion matmuls. The
+# backward routes cotangents through the factors (gG2 = gband@Ex,
+# gEx = gband^T@G2) and reduces moments over (TWC, NBS)/(TH, NBS) factor
+# arrays only. Exp count per chunk drops from NBS*TPS to NBS*(TWC+TH)
+# (~14x). Requires conic b == 0 (the axis footprint; its b is a constant
+# so g_cb = 0 is exact); EWA keeps the general kernels.
 
 
-def _sep_tile_factors(gd, gx_c, gy_r):
-    """Per-sub-block factors from a row-major gdense slice (sub, GD_ROWS):
-    returns (tx, ex, ty, ey, featsop, g2)."""
-    tx = gx_c - gd[:, 0:1]                   # (sub, TWC)
-    a2 = -0.5 * gd[:, 2:3]
-    ex = jnp.exp(a2 * (tx * tx))
-    ty = gy_r - gd[:, 1:2]                   # (sub, TH)
-    c2 = -0.5 * gd[:, 4:5]
-    ey = jnp.exp(c2 * (ty * ty))
-    featsop = gd[:, 6:14] * gd[:, 5:6]       # (sub, 8)
-    g2 = jnp.concatenate(
-        [featsop[:, f : f + 1] * ey for f in range(FEAT_PAD)], axis=1
-    )                                        # (sub, 8*TH) lanes (f, r)
-    return tx, ex, ty, ey, featsop, g2
+def _sep_tile_selectors():
+    """0/1 group-expansion selectors over the G2 row axis l = f*TH + r."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (FEAT_PAD * TH, 1), 0)
+    sel_f = (rows // TH == jax.lax.broadcasted_iota(
+        jnp.int32, (1, FEAT_PAD), 1)).astype(jnp.float32)    # (8TH, 8)
+    sel_r = (rows % TH == jax.lax.broadcasted_iota(
+        jnp.int32, (1, TH), 1)).astype(jnp.float32)          # (8TH, TH)
+    return sel_f, sel_r
 
 
 def _sep_tile_coords(i, tiles_x: int):
     ty_t = i // tiles_x
     tx_t = i % tiles_x
-    gx_c = (tx_t * TWC + jax.lax.broadcasted_iota(
-        jnp.int32, (1, TWC), dimension=1)).astype(jnp.float32) + 0.5
-    gy_r = (ty_t * TH + jax.lax.broadcasted_iota(
-        jnp.int32, (1, TH), dimension=1)).astype(jnp.float32) + 0.5
-    return gx_c, gy_r
+    xc = (tx_t * TWC + jax.lax.broadcasted_iota(
+        jnp.int32, (TWC, 1), dimension=0)).astype(jnp.float32) + 0.5
+    yr = (ty_t * TH + jax.lax.broadcasted_iota(
+        jnp.int32, (TH, 1), dimension=0)).astype(jnp.float32) + 0.5
+    return xc, yr
+
+
+def _sep_tile_factors(gd, xc, yr, sel_f, sel_r):
+    """Factor matrices from a transposed gdense chunk (GD_ROWS, NBS)."""
+    tx = xc - gd[0:1, :]                     # (TWC, NBS)
+    ex = jnp.exp(-0.5 * gd[2:3, :] * (tx * tx))
+    ty = yr - gd[1:2, :]                     # (TH, NBS)
+    ey = jnp.exp(-0.5 * gd[4:5, :] * (ty * ty))
+    featsop = gd[6:14, :] * gd[5:6, :]       # (8, NBS)
+    featsrep = jnp.dot(sel_f, featsop,
+                       preferred_element_type=jnp.float32)   # (8TH, NBS)
+    eyrep = jnp.dot(sel_r, ey,
+                    preferred_element_type=jnp.float32)      # (8TH, NBS)
+    g2 = featsrep * eyrep                    # rows (f, r)
+    return tx, ex, ty, ey, featsop, g2
 
 
 def _binned_fwd_kernel_sep(cnt_ref, gdense_ref, acc_ref,
@@ -215,16 +239,14 @@ def _binned_fwd_kernel_sep(cnt_ref, gdense_ref, acc_ref,
 
     @pl.when(j * NBS < cnt_ref[0, i])
     def _():
-        gx_c, gy_r = _sep_tile_coords(i, tiles_x)
-        acc = acc_ref[:]                     # (8*TH, TWC) rows (f, r)
-        for sb in range(NBS // _SUB):
-            gd = gdense_ref[sb * _SUB:(sb + 1) * _SUB, :]
-            _, ex, _, _, _, g2 = _sep_tile_factors(gd, gx_c, gy_r)
-            acc = acc + jax.lax.dot_general(
-                g2, ex, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision="highest",
-            )                                # (8*TH, TWC)
-        acc_ref[:] = acc
+        xc, yr = _sep_tile_coords(i, tiles_x)
+        sel_f, sel_r = _sep_tile_selectors()
+        gd = gdense_ref[:]                   # (GD_ROWS, NBS)
+        _, ex, _, _, _, g2 = _sep_tile_factors(gd, xc, yr, sel_f, sel_r)
+        acc_ref[:] += jax.lax.dot_general(
+            g2, ex, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision="highest",
+        )                                    # (8*TH, TWC)
 
 
 def _binned_bwd_kernel_sep(cnt_ref, gdense_ref, gband_ref, out_ref,
@@ -236,242 +258,193 @@ def _binned_bwd_kernel_sep(cnt_ref, gdense_ref, gband_ref, out_ref,
 
     @pl.when(j * NBS < cnt_ref[0, i])
     def _():
-        gx_c, gy_r = _sep_tile_coords(i, tiles_x)
+        xc, yr = _sep_tile_coords(i, tiles_x)
+        sel_f, sel_r = _sep_tile_selectors()
+        gd = gdense_ref[:]                   # (GD_ROWS, NBS)
+        tx, ex, ty, ey, featsop, g2 = _sep_tile_factors(
+            gd, xc, yr, sel_f, sel_r)
         gb = gband_ref[:]                    # (8*TH, TWC) rows (f, r)
-        # Constant 0/1 selectors: S sums each f-group of TH lanes,
-        # T sums across f for each r (lane l = f*TH + r).
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (FEAT_PAD * TH, 1), 0)
-        sel_f = (lanes // TH == jax.lax.broadcasted_iota(
-            jnp.int32, (1, FEAT_PAD), 1)).astype(jnp.float32)
-        sel_r = (lanes % TH == jax.lax.broadcasted_iota(
-            jnp.int32, (1, TH), 1)).astype(jnp.float32)
 
-        for sb in range(NBS // _SUB):
-            gd = gdense_ref[sb * _SUB:(sb + 1) * _SUB, :]
-            tx, ex, ty, ey, featsop, g2 = _sep_tile_factors(gd, gx_c, gy_r)
+        # gG2[(f,r), i] = sum_c gband[(f,r), c] * Ex[c, i]
+        g_g2 = jax.lax.dot_general(
+            gb, ex, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision="highest",
+        )                                    # (8*TH, NBS)
+        # gEx[c, i] = sum_{(f,r)} gband[(f,r), c] * G2[(f,r), i]
+        g_ex = jax.lax.dot_general(
+            gb, g2, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision="highest",
+        )                                    # (TWC, NBS)
 
-            # gG2[i, (f,r)] = sum_c gband[(f,r), c] * Ex[i, c]
-            g_g2 = jax.lax.dot_general(
-                ex, gb, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision="highest",
-            )                                # (sub, 8*TH)
-            # gEx[i, c] = sum_{(f,r)} gband[(f,r), c] * G2[i, (f,r)]
-            g_ex = jax.lax.dot_general(
-                g2, gb, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision="highest",
-            )                                # (sub, TWC)
+        # g_featop[f] = sum_r gG2[(f,r)] * Ey[r]; gEy[r] = sum_f
+        # gG2[(f,r)] * featsop[f] — (TH, NBS) sublane-slice sums.
+        g_featop = jnp.concatenate(
+            [jnp.sum(g_g2[f * TH:(f + 1) * TH, :] * ey, axis=0,
+                     keepdims=True) for f in range(FEAT_PAD)], axis=0
+        )                                    # (8, NBS)
+        g_ey = g_g2[0:TH, :] * featsop[0:1, :]
+        for f in range(1, FEAT_PAD):
+            g_ey += g_g2[f * TH:(f + 1) * TH, :] * featsop[f:f + 1, :]
 
-            # Lane-group contractions via the 0/1 selectors (exact):
-            # g_featop[i, f] = sum_r gG2[i, f*TH+r] * ey[i, r]
-            eyrep = jnp.concatenate([ey] * FEAT_PAD, axis=1)  # (sub, 8*TH)
-            g_featop = jnp.dot(
-                g_g2 * eyrep, sel_f,
-                preferred_element_type=jnp.float32, precision="highest",
-            )                                # (sub, 8)
-            # gEy[i, r] = sum_f gG2[i, f*TH+r] * featsop[i, f]
-            featsrep = jnp.concatenate(
-                [featsop[:, f : f + 1] * jnp.ones((1, TH), jnp.float32)
-                 for f in range(FEAT_PAD)], axis=1)           # (sub, 8*TH)
-            g_ey = jnp.dot(
-                g_g2 * featsrep, sel_r,
-                preferred_element_type=jnp.float32, precision="highest",
-            )                                # (sub, TH)
+        u_x = g_ex * ex                      # (TWC, NBS)
+        t1 = u_x * tx
+        mdx = jnp.sum(t1, axis=0, keepdims=True)             # (1, NBS)
+        mxx = jnp.sum(t1 * tx, axis=0, keepdims=True)
+        u_y = g_ey * ey                      # (TH, NBS)
+        t2 = u_y * ty
+        mdy = jnp.sum(t2, axis=0, keepdims=True)
+        myy = jnp.sum(t2 * ty, axis=0, keepdims=True)
 
-            u_x = g_ex * ex                  # (sub, TWC)
-            t1 = u_x * tx
-            mdx = jnp.sum(t1, axis=1, keepdims=True)          # (sub, 1)
-            mxx = jnp.sum(t1 * tx, axis=1, keepdims=True)
-            u_y = g_ey * ey                  # (sub, TH)
-            t2 = u_y * ty
-            mdy = jnp.sum(t2, axis=1, keepdims=True)
-            myy = jnp.sum(t2 * ty, axis=1, keepdims=True)
-
-            out_ref[sb * _SUB:(sb + 1) * _SUB, :] = jnp.concatenate(
-                [mdx, mdy, mxx, jnp.zeros((_SUB, 1), jnp.float32), myy,
-                 jnp.zeros((_SUB, 1), jnp.float32), g_featop,
-                 jnp.zeros((_SUB, GD_ROWS - 6 - FEAT_PAD), jnp.float32)],
-                axis=1)
+        out_ref[:] = jnp.concatenate(
+            [mdx, mdy, mxx, jnp.zeros((1, NBS), jnp.float32), myy,
+             jnp.zeros((1, NBS), jnp.float32), g_featop,
+             jnp.zeros((GD_ROWS - 6 - FEAT_PAD, NBS), jnp.float32)],
+            axis=0)
 
 
-def moment_postpass_opfold(gdense: Array, raw: Array) -> Array:
-    """Post-pass for the separable (op-folded) backward: raw slot rows
-    [Mdx, Mdy, Mxx, 0, Myy, 0, g_featop(8)] -> gdense-layout gradients.
-    g_feat = op * g_featop (product rule), g_op = sum_f feats_f *
-    g_featop_f; conic b is the axis constant 0 (g_cb = 0 exact)."""
-    a, c = gdense[:, 2], gdense[:, 4]
-    op = gdense[:, 5]
-    feats = gdense[:, 6:6 + FEAT_PAD]
-    mdx, mdy = raw[:, 0], raw[:, 1]
-    mxx, myy = raw[:, 2], raw[:, 4]
-    g_featop = raw[:, 6:6 + FEAT_PAD]
+# ----------------------------------------------------------- post-passes
+
+
+def moment_postpass_t(gdense_t: Array, raw_t: Array) -> Array:
+    """Transposed chain-rule post-pass (general kernels): raw rows
+    [Mdx, Mdy, Mxx, Mxy, Myy, M0, g_feat(8)] (moments of g_e) ->
+    gdenseT-layout gradients, all on dense (S,) rows."""
+    a, b, c = gdense_t[2], gdense_t[3], gdense_t[4]
+    op = gdense_t[5]
+    mdx, mdy = raw_t[0], raw_t[1]
+    mxx, mxy, myy, m0 = raw_t[2], raw_t[3], raw_t[4], raw_t[5]
+    g_head = jnp.stack(
+        [a * mdx + b * mdy,
+         b * mdx + c * mdy,
+         -0.5 * mxx, -mxy, -0.5 * myy,
+         jnp.where(op > 0, m0 / jnp.where(op > 0, op, 1.0), 0.0)],
+        axis=0)
+    return jnp.concatenate(
+        [g_head, raw_t[6:6 + FEAT_PAD],
+         jnp.zeros_like(raw_t[6 + FEAT_PAD:])], axis=0)
+
+
+def moment_postpass_opfold_t(gdense_t: Array, raw_t: Array) -> Array:
+    """Transposed post-pass for the separable (op-folded) backward: raw
+    rows [Mdx, Mdy, Mxx, 0, Myy, 0, g_featop(8)] -> gdenseT-layout
+    gradients. g_feat = op * g_featop (product rule), g_op =
+    sum_f feats_f * g_featop_f; conic b is the axis constant 0."""
+    a, c = gdense_t[2], gdense_t[4]
+    op = gdense_t[5]
+    feats = gdense_t[6:6 + FEAT_PAD]
+    mdx, mdy = raw_t[0], raw_t[1]
+    mxx, myy = raw_t[2], raw_t[4]
+    g_featop = raw_t[6:6 + FEAT_PAD]
     g_head = jnp.stack(
         [a * mdx, c * mdy,
          -0.5 * mxx, jnp.zeros_like(mdx), -0.5 * myy,
-         jnp.sum(feats * g_featop, axis=1)],
-        axis=1)
+         jnp.sum(feats * g_featop, axis=0)],
+        axis=0)
     return jnp.concatenate(
-        [g_head, g_featop * op[:, None],
-         jnp.zeros_like(raw[:, 6 + FEAT_PAD:])], axis=1)
+        [g_head, g_featop * op[None, :],
+         jnp.zeros_like(raw_t[6 + FEAT_PAD:])], axis=0)
 
 
-def _binned_fwd_call(gdense, cnt, tiles_x: int, n_tiles: int,
-                     chunks_per_tile: int) -> Array:
+# ------------------------------------------------------- call wrappers
+
+
+def _gd_spec(chunks_per_tile: int):
+    return pl.BlockSpec((GD_ROWS, NBS),
+                        lambda i, j, c=chunks_per_tile: (0, i * c + j),
+                        memory_space=pltpu.VMEM)
+
+
+def _binned_call(kernel, out_specs, out_shape, extra_in, gdense_t, cnt,
+                 tiles_x: int, n_tiles: int, chunks_per_tile: int):
     return pl.pallas_call(
-        functools.partial(_binned_fwd_kernel, tiles_x=tiles_x,
+        functools.partial(kernel, tiles_x=tiles_x,
                           chunks_per_tile=chunks_per_tile),
         grid=(n_tiles, chunks_per_tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # cnt
-            pl.BlockSpec((NBS, GD_ROWS),
-                         lambda i, j: (i * chunks_per_tile + j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((FEAT_PAD, TPS), lambda i, j: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((FEAT_PAD, n_tiles * TPS),
-                                       jnp.float32),
+            _gd_spec(chunks_per_tile),                # gdenseT chunk
+        ] + [spec for spec, _ in extra_in],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(cnt, gdense)
+    )(cnt, gdense_t, *[arr for _, arr in extra_in])
 
 
-def _binned_bwd_call(gdense, cnt, g8, tiles_x: int, n_tiles: int,
-                     chunks_per_tile: int) -> Array:
-    rows = gdense.shape[0]
-    return pl.pallas_call(
-        functools.partial(_binned_bwd_kernel, tiles_x=tiles_x,
-                          chunks_per_tile=chunks_per_tile),
-        grid=(n_tiles, chunks_per_tile),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # cnt
-            pl.BlockSpec((NBS, GD_ROWS),
-                         lambda i, j: (i * chunks_per_tile + j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((FEAT_PAD, TPS), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),    # g8 (cotangent)
-        ],
-        out_specs=pl.BlockSpec((NBS, GD_ROWS),
-                               lambda i, j: (i * chunks_per_tile + j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, GD_ROWS), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=_interpret(),
-    )(cnt, gdense, g8)
-
-
-def _binned_fwd_call_sep(gdense, cnt, tiles_x: int, n_tiles: int,
-                         chunks_per_tile: int) -> Array:
-    br = FEAT_PAD * TH
-    return pl.pallas_call(
-        functools.partial(_binned_fwd_kernel_sep, tiles_x=tiles_x,
-                          chunks_per_tile=chunks_per_tile),
-        grid=(n_tiles, chunks_per_tile),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # cnt
-            pl.BlockSpec((NBS, GD_ROWS),
-                         lambda i, j: (i * chunks_per_tile + j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((br, TWC), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * br, TWC), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=_interpret(),
-    )(cnt, gdense)
-
-
-def _binned_bwd_call_sep(gdense, cnt, gband, tiles_x: int, n_tiles: int,
-                         chunks_per_tile: int) -> Array:
-    rows = gdense.shape[0]
-    br = FEAT_PAD * TH
-    return pl.pallas_call(
-        functools.partial(_binned_bwd_kernel_sep, tiles_x=tiles_x,
-                          chunks_per_tile=chunks_per_tile),
-        grid=(n_tiles, chunks_per_tile),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # cnt
-            pl.BlockSpec((NBS, GD_ROWS),
-                         lambda i, j: (i * chunks_per_tile + j, 0),
-                         memory_space=pltpu.VMEM),
+def _binned_fwd_call(gdense_t, cnt, tiles_x, n_tiles, chunks_per_tile,
+                     sep: bool) -> Array:
+    if sep:
+        br = FEAT_PAD * TH
+        out = _binned_call(
+            _binned_fwd_kernel_sep,
             pl.BlockSpec((br, TWC), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),    # gband (f,r) x c
-        ],
-        out_specs=pl.BlockSpec((NBS, GD_ROWS),
-                               lambda i, j: (i * chunks_per_tile + j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, GD_ROWS), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=_interpret(),
-    )(cnt, gdense, gband)
+                         memory_space=pltpu.VMEM),
+            jax.ShapeDtypeStruct((n_tiles * br, TWC), jnp.float32),
+            [], gdense_t, cnt, tiles_x, n_tiles, chunks_per_tile)
+        # (tile, f, r) x TWC -> (FEAT_PAD, n_tiles*TPS)
+        return out.reshape(n_tiles, FEAT_PAD, TH, TWC).transpose(
+            1, 0, 2, 3).reshape(FEAT_PAD, n_tiles * TPS)
+    return _binned_call(
+        _binned_fwd_kernel,
+        pl.BlockSpec((FEAT_PAD, TPS), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((FEAT_PAD, n_tiles * TPS), jnp.float32),
+        [], gdense_t, cnt, tiles_x, n_tiles, chunks_per_tile)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _binned_core_sep(gdense, cnt, tiles_x, n_tiles, chunks_per_tile):
-    """Separable-kernel variant of _binned_core (axis footprint only);
-    same (FEAT_PAD, n_tiles*TPS) output layout."""
-    return _binned_core_sep_fwd(gdense, cnt, tiles_x, n_tiles,
-                                chunks_per_tile)[0]
+def _binned_bwd_call(gdense_t, cnt, g_acc, tiles_x, n_tiles,
+                     chunks_per_tile, sep: bool) -> Array:
+    cols = gdense_t.shape[1]
+    out_specs = pl.BlockSpec(
+        (GD_ROWS, NBS),
+        lambda i, j, c=chunks_per_tile: (0, i * c + j),
+        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((GD_ROWS, cols), jnp.float32)
+    if sep:
+        br = FEAT_PAD * TH
+        gband = g_acc.reshape(FEAT_PAD, n_tiles, TH, TWC).transpose(
+            1, 0, 2, 3).reshape(n_tiles * br, TWC)
+        extra = [(pl.BlockSpec((br, TWC), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM), gband)]
+        return _binned_call(_binned_bwd_kernel_sep, out_specs, out_shape,
+                            extra, gdense_t, cnt, tiles_x, n_tiles,
+                            chunks_per_tile)
+    extra = [(pl.BlockSpec((FEAT_PAD, TPS), lambda i, j: (0, i),
+                           memory_space=pltpu.VMEM), g_acc)]
+    return _binned_call(_binned_bwd_kernel, out_specs, out_shape,
+                        extra, gdense_t, cnt, tiles_x, n_tiles,
+                        chunks_per_tile)
 
 
-def _sep_acc_to_tiled(out: Array, n_tiles: int) -> Array:
-    """(n_tiles*8*TH, TWC) rows (tile, f, r) -> (FEAT_PAD, n_tiles*TPS)."""
-    return out.reshape(n_tiles, FEAT_PAD, TH, TWC).transpose(
-        1, 0, 2, 3).reshape(FEAT_PAD, n_tiles * TPS)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _binned_core(gdense_t, cnt, tiles_x, n_tiles, chunks_per_tile,
+                 sep=False):
+    """acc (FEAT_PAD, n_tiles*TPS) accumulated over transposed dense
+    per-tile lists; differentiable in gdense_t via the fused backward.
+    sep=True selects the separable (axis-footprint) kernels."""
+    return _binned_core_fwd(gdense_t, cnt, tiles_x, n_tiles,
+                            chunks_per_tile, sep)[0]
 
 
-def _binned_core_sep_fwd(gdense, cnt, tiles_x, n_tiles, chunks_per_tile):
-    out = _binned_fwd_call_sep(gdense, cnt, tiles_x, n_tiles,
-                               chunks_per_tile)
-    return _sep_acc_to_tiled(out, n_tiles), (gdense, cnt)
+def _binned_core_fwd(gdense_t, cnt, tiles_x, n_tiles, chunks_per_tile,
+                     sep):
+    acc = _binned_fwd_call(gdense_t, cnt, tiles_x, n_tiles,
+                           chunks_per_tile, sep)
+    return acc, (gdense_t, cnt)
 
 
-def _binned_core_sep_bwd(tiles_x, n_tiles, chunks_per_tile, res, g_acc):
+def _binned_core_bwd(tiles_x, n_tiles, chunks_per_tile, sep, res, g_acc):
     import numpy as np
 
-    gdense, cnt = res
-    gband = g_acc.reshape(FEAT_PAD, n_tiles, TH, TWC).transpose(
-        1, 0, 2, 3).reshape(n_tiles * FEAT_PAD * TH, TWC)
-    raw = _binned_bwd_call_sep(gdense, cnt, gband, tiles_x, n_tiles,
-                               chunks_per_tile)
+    gdense_t, cnt = res
+    raw_t = _binned_bwd_call(gdense_t, cnt, g_acc, tiles_x, n_tiles,
+                             chunks_per_tile, sep)
+    post = moment_postpass_opfold_t if sep else moment_postpass_t
     g_cnt = np.zeros(cnt.shape, jax.dtypes.float0)
-    return moment_postpass_opfold(gdense, raw), g_cnt
-
-
-_binned_core_sep.defvjp(_binned_core_sep_fwd, _binned_core_sep_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _binned_core(gdense, cnt, tiles_x, n_tiles, chunks_per_tile):
-    """acc (FEAT_PAD, n_tiles*TPS) accumulated over dense per-tile lists;
-    differentiable in gdense via the fused backward."""
-    return _binned_fwd_call(gdense, cnt, tiles_x, n_tiles, chunks_per_tile)
-
-
-def _binned_core_fwd(gdense, cnt, tiles_x, n_tiles, chunks_per_tile):
-    acc = _binned_fwd_call(gdense, cnt, tiles_x, n_tiles, chunks_per_tile)
-    return acc, (gdense, cnt)
-
-
-def _binned_core_bwd(tiles_x, n_tiles, chunks_per_tile, res, g_acc):
-    import numpy as np
-
-    gdense, cnt = res
-    raw = _binned_bwd_call(gdense, cnt, g_acc, tiles_x, n_tiles,
-                           chunks_per_tile)
-    g_cnt = np.zeros(cnt.shape, jax.dtypes.float0)
-    return moment_postpass(gdense, raw), g_cnt
+    return post(gdense_t, raw_t), g_cnt
 
 
 _binned_core.defvjp(_binned_core_fwd, _binned_core_bwd)
@@ -489,8 +462,7 @@ def splat_accumulate_binned(
     scatter-add; binning itself is non-differentiable selection.
 
     axis=True (caller-asserted: conic b == 0) selects the separable
-    tile kernels (one full-MXU matmul per 128-gaussian sub-block,
-    ~14x fewer exps).
+    tile kernels (one MXU matmul per chunk, ~14x fewer exps).
     """
     n = s.px.shape[0]
     tiles_x = _round_up(width, TWC) // TWC
@@ -519,11 +491,12 @@ def splat_accumulate_binned(
         tiles_x, tiles_y, tile_capacity, width, height,
         cutoff=W_CULL, zsort=False, k=k)
 
-    gdense = pack_gdataT_prio(s, order)[slots]            # (tiles*cap, 16)
+    # Row gather fused into the transpose -> ONE dense (GD_ROWS, S)
+    # write (a materialized (S, GD_ROWS) array would tile-pad 8x).
+    gdense_t = pack_gdataT_prio(s, order)[slots].T
 
-    core = _binned_core_sep if axis else _binned_core
-    acc = core(gdense, cnt.astype(jnp.int32), tiles_x, n_tiles,
-               chunks_per_tile)
+    acc = _binned_core(gdense_t, cnt.astype(jnp.int32), tiles_x, n_tiles,
+                       chunks_per_tile, axis)
 
     full = crop_tiled_acc(acc, tiles_y, tiles_x, height, width)
     return full[..., :FEAT_DIM].reshape(-1, FEAT_DIM)
