@@ -353,24 +353,38 @@ def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
             f"({31 - lbits} tile bits at chunk length {chunk_l}); render "
             "in row windows (parallel/tiled.py) for frames this large")
 
-    jj = jnp.arange(k, dtype=jnp.int32)
-    drow = jj[None, :] // kx_c[:, None]            # (n, K) priority-major
-    dcol = jj[None, :] % kx_c[:, None]
-    tile = (ty_lo[:, None] + drow) * tiles_x + (tx_lo[:, None] + dcol)
-    valid = jj[None, :] < count[:, None]
-    tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
-
     # KEY-ONLY chunk sort: the key packs (tile, within-chunk pair index).
     # m_local = g_local*K + j is unique per chunk element and ascends in
     # z rank, so sorting the single int32 key both tile-groups and
     # z-orders — no value operand, no stability requirement (unstable
     # sort is ~20% faster at this size), and the gaussian id is recovered
     # arithmetically from the low bits afterwards.
-    m_local = (jnp.arange(n, dtype=jnp.int32)[:, None] % m_per) * k + jj
-    key = (tile << lbits) | m_local
-    key_c = jnp.pad(key.reshape(-1), (0, (n_pad - n) * k),
-                    constant_values=(n_tiles << lbits)
-                    ).reshape(c_chunks, chunk_l)
+    #
+    # The key is generated DIRECTLY in the padded (C, m_per, K) chunk
+    # layout: per-gaussian inputs are padded/reshaped first (n-sized,
+    # cheap) so the final (C, m_per*K) merge of the two minor dims is a
+    # free relayout — profiling at 1M gaussians showed the old
+    # (n, K)-then-flatten formulation materialized SIX separate
+    # 12M-element pair arrays (the flatten blocked fusion), ~20 ms of
+    # pure HBM traffic. The rect-row split j -> (drow, dcol) uses a
+    # guarded float-reciprocal instead of integer div/mod (integer
+    # division by a per-gaussian divisor is many VPU ops): the +1e-4
+    # nudge is safe because j*recip(kx) has error <= 64*2^-24 ~ 4e-6
+    # while true fractional parts are multiples of 1/K >= 1/64.
+    def _padc(a, const=0):
+        return jnp.pad(a, (0, n_pad - n), constant_values=const).reshape(
+            c_chunks, m_per, 1)
+
+    jj = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    jjf = jj.astype(jnp.float32)
+    rkx = 1.0 / _padc(kx_c, 1).astype(jnp.float32)
+    drow = jnp.floor(jjf * rkx + 1e-4).astype(jnp.int32)  # (C, M, K)
+    dcol = jj - drow * _padc(kx_c, 1)
+    tile = (_padc(ty_lo) + drow) * tiles_x + (_padc(tx_lo) + dcol)
+    tile = jnp.where(jj < _padc(count), tile, n_tiles)
+    m_loc = (jnp.arange(n_pad, dtype=jnp.int32) % m_per).reshape(
+        c_chunks, m_per, 1) * k + jj
+    key_c = ((tile << lbits) | m_loc).reshape(c_chunks, chunk_l)
     (key_s,) = jax.lax.sort((key_c,), dimension=1, num_keys=1,
                             is_stable=False)
 
