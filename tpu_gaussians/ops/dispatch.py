@@ -57,18 +57,17 @@ def render_accum(
         from tpu_gaussians.ops.pallas import splat as pallas_splat
 
         n = s.px.shape[0]
+        axis = config.footprint == "axis"
         use_binned = (config.accum_binned == "on"
                       or (config.accum_binned == "auto"
-                          and n >= pallas_binned.BINNED_MIN_N))
+                          and n >= pallas_binned.binned_min_n(axis)))
         if use_binned:
             acc = pallas_binned.splat_accumulate_binned(
-                s, config.height, config.width,
-                axis=(config.footprint == "axis"),
+                s, config.height, config.width, axis=axis,
             )
         else:
             acc = pallas_splat.splat_accumulate(
-                s, config.height, config.width,
-                axis=(config.footprint == "axis"),
+                s, config.height, config.width, axis=axis,
             )
     else:
         acc = jnp_renderer.accumulate_jnp(

@@ -73,9 +73,20 @@ from tpu_gaussians.ops.pallas.splat import (
     _round_up,
 )
 
-# Below this many gaussians the dense v2 kernels win (binning overhead
-# exceeds the culling gain); above it, binned lists win and keep winning.
+# Below this many gaussians the dense band kernels win (the binner +
+# slot gather + scatter-add cost ~20 ms fixed at 512^2, while the dense
+# kernels scale linearly); above it, binned lists win and keep winning.
+# The crossover depends on the footprint: the AXIS path's separable band
+# kernels are so cheap that dense wins by 2-3x at 32-65k and binned only
+# takes over at ~131k (re-measured, random-init scene, 512^2/1024^2
+# fwd+bwd); the EWA path keeps the general kernels on both sides, where
+# the original ~32k crossover stands.
+BINNED_MIN_N_AXIS = 98_304
 BINNED_MIN_N = 32_768
+
+
+def binned_min_n(axis: bool) -> int:
+    return BINNED_MIN_N_AXIS if axis else BINNED_MIN_N
 
 # W_CULL extents (~8 sigma) are much wider than the sorted path's
 # alpha-cutoff extents, so the binned-accum tile budget gets a larger
