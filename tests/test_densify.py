@@ -125,3 +125,40 @@ def test_grad_metric_ranking():
         np.asarray(new.scales_raw)[40:50],
         np.asarray(raw.scales_raw)[parent_idx], atol=1e-6,
     )
+
+
+def test_split_shrinks_parent_and_child():
+    """3DGS split: clone sources above split_scale_thresh shrink by
+    split_shrink in BOTH the parent row and the child row, and the child
+    keeps the parent opacity (no -0.1)."""
+    op_raw = np.full((20,), 2.0, np.float32)
+    raw = _make_raw(op_raw, capacity=40, seed=7)
+    # Make every scale huge so all clone sources split.
+    raw = raw.__class__(**{**raw.__dict__,
+                           "scales_raw": jnp.full((40, 3), 3.0)})
+    act = np.log1p(np.exp(3.0)) + 1e-3
+    cfg = DensifyConfig(densify_ratio=0.5, split_scale_thresh=act * 0.5,
+                        split_shrink=1.6)
+    new, stats = densify_and_prune(raw, jax.random.PRNGKey(0), cfg)
+    add_n = int(stats["n_cloned"])
+    assert add_n == 10
+    want_act = act / 1.6
+    got_child = np.log1p(np.exp(np.asarray(new.scales_raw)[20:20 + add_n])) + 1e-3
+    np.testing.assert_allclose(got_child, want_act, rtol=1e-5)
+    # Parents (the cloned sources) also shrunk.
+    got_parent = np.log1p(np.exp(np.asarray(new.scales_raw)[:add_n])) + 1e-3
+    np.testing.assert_allclose(got_parent, want_act, rtol=1e-5)
+    # Split children keep opacity (clone would subtract 0.1).
+    np.testing.assert_allclose(
+        np.asarray(new.opacities_raw)[20:20 + add_n], 2.0, atol=1e-6)
+
+
+def test_split_disabled_matches_reference_clone():
+    op_raw = np.full((20,), 2.0, np.float32)
+    raw = _make_raw(op_raw, capacity=40, seed=8)
+    cfg0 = DensifyConfig(densify_ratio=0.5)
+    cfg1 = DensifyConfig(densify_ratio=0.5, split_scale_thresh=1e9)
+    a, _ = densify_and_prune(raw, jax.random.PRNGKey(1), cfg0)
+    b, _ = densify_and_prune(raw, jax.random.PRNGKey(1), cfg1)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)

@@ -75,6 +75,22 @@ def build_parser() -> argparse.ArgumentParser:
                          "32k gaussians, dense band kernels below")
     ap.add_argument("--clone_metric", choices=["opacity", "grad"],
                     default=d.clone_metric)
+    ap.add_argument("--split_scale_thresh", type=float,
+                    default=d.split_scale_thresh,
+                    help="3DGS split: clone sources with max world scale "
+                         "above this are split (parent+child shrunk by "
+                         "--split_shrink); 0 disables (reference behavior)")
+    ap.add_argument("--split_shrink", type=float, default=d.split_shrink)
+    ap.add_argument("--opacity_reset_interval", type=int,
+                    default=d.opacity_reset_interval,
+                    help="3DGS: clamp opacities to <= --opacity_reset_value "
+                         "every N iters; 0 disables (reference behavior)")
+    ap.add_argument("--opacity_reset_value", type=float,
+                    default=d.opacity_reset_value)
+    ap.add_argument("--means_lr_final", type=float, default=d.means_lr_final,
+                    help="final positional-lr multiplier, decayed "
+                         "exponentially over --iters (3DGS uses ~0.01); "
+                         "1.0 = constant lr (reference behavior)")
     ap.add_argument("--log_every", type=int, default=d.log_every)
     ap.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
     ap.add_argument("--resume", action="store_true")

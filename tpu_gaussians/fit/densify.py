@@ -10,6 +10,11 @@ Reproduces the reference algorithm (fit_multiview_stub.py:140-197
   densify: add_n = min(capacity - n, floor(n * densify_ratio)) (:166-167);
            clone the top-add_n ranked Gaussians with positional jitter
            0.25 * scales * N(0,1) (:170-172), child opacity_raw -= 0.1 (:174)
+  split:   (3DGS extension, off by default) cloned Gaussians whose max
+           activated scale exceeds split_scale_thresh are SPLIT instead:
+           both parent and child scales shrink by split_shrink (3DGS
+           uses 1.6) and the child keeps the parent opacity — the
+           original 3DGS over-reconstruction remedy
 
 Everything is gather/scatter at capacity C — shapes never change, so the
 train step never recompiles (SURVEY.md §7 "Densify/prune under jit").
@@ -44,6 +49,9 @@ class DensifyConfig:
     min_keep: int = 64            # survivor floor (:154-157)
     clone_metric: str = "opacity"  # "opacity" (reference) | "grad"
     jitter_scale: float = 0.25     # positional jitter factor (:171)
+    split_scale_thresh: float = 0.0  # 3DGS split threshold (world units);
+                                     # 0 = off (reference behavior)
+    split_shrink: float = 1.6        # 3DGS split scale divisor
 
 
 def _inverse_permutation(perm: Array) -> Array:
@@ -52,8 +60,15 @@ def _inverse_permutation(perm: Array) -> Array:
     return jnp.zeros((c,), jnp.int32).at[perm].set(jnp.arange(c, dtype=jnp.int32))
 
 
+def _inv_softplus(y: Array) -> Array:
+    """softplus^-1 on positive y: y + log1p(-exp(-y)), stable for y > 0."""
+    y = jnp.maximum(y, 1e-6)
+    return y + jnp.log1p(-jnp.exp(-y))
+
+
 @partial(jax.jit, static_argnames=("densify_ratio", "prune_opacity",
-                                   "min_keep", "clone_metric", "jitter_scale"))
+                                   "min_keep", "clone_metric", "jitter_scale",
+                                   "split_scale_thresh", "split_shrink"))
 def _densify_and_prune_impl(
     raw: RawParams,
     grad_norm_accum: Array,
@@ -64,6 +79,8 @@ def _densify_and_prune_impl(
     min_keep: int,
     clone_metric: str,
     jitter_scale: float,
+    split_scale_thresh: float,
+    split_shrink: float,
 ) -> Tuple[RawParams, dict]:
     c = raw.capacity
     alive = raw.alive_mask() > 0.5
@@ -118,6 +135,22 @@ def _densify_and_prune_impl(
     noise = jax.random.normal(key, (c, 3), jnp.float32)
     child_means = means[src] + jitter_scale * scales_act[src] * noise
 
+    child_scales_raw = scales_raw[src]
+    child_op_raw = op_raw[src] - 0.1
+    if split_scale_thresh > 0.0:
+        # 3DGS split: over-sized sources shrink (parent AND child) by
+        # split_shrink; split children keep the parent opacity.
+        split = (jnp.max(scales_act[src], axis=1) > split_scale_thresh)
+        shrunk = _inv_softplus(
+            jnp.maximum(scales_act[src] / split_shrink - 1e-3, 1e-6))
+        child_scales_raw = jnp.where(split[:, None], shrunk,
+                                     child_scales_raw)
+        child_op_raw = jnp.where(split, op_raw[src], child_op_raw)
+        # Shrink the parents in place (only rows that were actually
+        # cloned): scatter back through src with out-of-bounds drop.
+        parent_dest = jnp.where(write_mask & split, src, c)
+        scales_raw = scales_raw.at[parent_dest].set(shrunk, mode="drop")
+
     def scatter(base, child_vals):
         if base is None:
             return None
@@ -125,8 +158,8 @@ def _densify_and_prune_impl(
 
     new_raw = RawParams(
         means=scatter(means, child_means),
-        scales_raw=scatter(scales_raw, scales_raw[src]),
-        opacities_raw=scatter(op_raw, op_raw[src] - 0.1),
+        scales_raw=scatter(scales_raw, child_scales_raw),
+        opacities_raw=scatter(op_raw, child_op_raw),
         colors_raw=scatter(colors_raw,
                            None if colors_raw is None else colors_raw[src]),
         sh_raw=scatter(sh_raw, None if sh_raw is None else sh_raw[src]),
@@ -168,4 +201,6 @@ def densify_and_prune(
         min_keep=int(config.min_keep),
         clone_metric=str(config.clone_metric),
         jitter_scale=float(config.jitter_scale),
+        split_scale_thresh=float(config.split_scale_thresh),
+        split_shrink=float(config.split_shrink),
     )

@@ -89,7 +89,13 @@ def make_train_step(
         targets: Array,
         masks: Array,
         depths: Array,
+        means_lr_scale: Array = 1.0,
     ) -> Tuple[TrainState, dict]:
+        """means_lr_scale (traced scalar ok): multiplies the Adam UPDATE
+        for `means` only — Adam normalizes gradient scale away, so
+        scaling its update is exactly a per-param learning rate. Drives
+        the 3DGS-style positional lr decay without touching optimizer
+        state (which the trainer resets at densify events)."""
         raw = state.raw
 
         def f(trainable):
@@ -106,6 +112,8 @@ def make_train_step(
         )
 
         updates, opt_state = tx.update(grads, state.opt_state, raw.trainable())
+        updates = dict(updates)
+        updates["means"] = updates["means"] * means_lr_scale
         new_raw = raw.with_trainable(
             optax.apply_updates(raw.trainable(), updates)
         )

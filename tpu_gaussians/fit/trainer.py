@@ -105,6 +105,8 @@ def fit(
         densify_ratio=config.densify_ratio,
         prune_opacity=config.prune_opacity,
         clone_metric=config.clone_metric,
+        split_scale_thresh=float(getattr(config, "split_scale_thresh", 0.0)),
+        split_shrink=float(getattr(config, "split_shrink", 1.6)),
     )
 
     key = jax.random.PRNGKey(config.seed)
@@ -161,14 +163,24 @@ def fit(
                    "ssim", "n_alive", "grad_norm_mean")
     MAX_SEG = 256
 
+    # 3DGS-style exponential positional-lr decay (piecewise-constant per
+    # segment; exact at segment starts). means_lr_final = 1 -> constant.
+    mlr_final = float(getattr(config, "means_lr_final", 1.0))
+
+    def means_lr_at(i: int) -> float:
+        if mlr_final >= 1.0 or config.iters <= 0:
+            return 1.0
+        return mlr_final ** (i / config.iters)
+
     if n_shards == 1:
         inner = make_train_step(tx, render_config, loss_config,
                                 has_masks, has_depths, jit=False)
 
-        def multi(st, cams_a, t_a, m_a, d_a, k):
+        def multi(st, cams_a, t_a, m_a, d_a, k, mlr):
             def body(i, carry):
                 s, buf = carry
-                s2, metrics = inner(s, cams_a, t_a, m_a, d_a)
+                s2, metrics = inner(s, cams_a, t_a, m_a, d_a,
+                                    means_lr_scale=mlr)
                 row = jnp.stack([metrics[mk].astype(jnp.float32)
                                  for mk in METRIC_KEYS])
                 return (s2, jax.lax.dynamic_update_index_in_dim(
@@ -178,10 +190,13 @@ def fit(
 
         multi_jit = jax.jit(multi, donate_argnums=(0,))
 
+    opacity_reset_interval = int(getattr(config, "opacity_reset_interval", 0))
+
     def next_event(it: int) -> int:
         nxt = config.iters
         for interval in (config.log_every, config.densify_interval,
-                         config.prune_interval, config.checkpoint_every):
+                         config.prune_interval, config.checkpoint_every,
+                         opacity_reset_interval):
             if interval and interval > 0:
                 nxt = min(nxt, ((it // interval) + 1) * interval)
         return nxt
@@ -196,7 +211,8 @@ def fit(
             # still appears (fit_multiview_stub.py:313-316).
             seg = 1 if it == start_iter else min(next_event(it) - it, MAX_SEG)
             state, buf = multi_jit(state, cameras, targets_j, masks_j,
-                                   depths_j, seg)
+                                   depths_j, seg,
+                                   jnp.float32(means_lr_at(it)))
         else:
             seg = 1
             state, metrics = step_fn(state, cameras, targets_j, masks_j,
@@ -231,6 +247,19 @@ def fit(
                 grad_steps=state.grad_steps,
             )
             state = init_state(new_raw, tx)  # fresh Adam, :325
+
+        if (opacity_reset_interval > 0 and it % opacity_reset_interval == 0
+                and it < config.iters):
+            # 3DGS opacity reset: clamp op <= reset value (sigmoid is
+            # monotone, so clamp the raw logit) and drop optimizer state
+            # so Adam's moments don't instantly undo it.
+            rv = float(getattr(config, "opacity_reset_value", 0.01))
+            logit = float(np.log(rv) - np.log1p(-rv))
+            import dataclasses as _dc
+            new_raw = _dc.replace(
+                state.raw,
+                opacities_raw=jnp.minimum(state.raw.opacities_raw, logit))
+            state = init_state(new_raw, tx)
 
         if (checkpointer is not None and config.checkpoint_every > 0
                 and it % config.checkpoint_every == 0):

@@ -55,6 +55,18 @@ class FitConfig:
     accum_binned: str = "auto"    # accum kernel choice: auto (tile-binned
                                   # lists above 32k gaussians) | on | off
     clone_metric: str = "opacity"  # densify ranking: opacity (reference) | grad
+    split_scale_thresh: float = 0.0  # 3DGS split: cloned gaussians whose max
+                                     # world scale exceeds this are SPLIT
+                                     # (parent+child shrunk by split_shrink,
+                                     # child keeps opacity); 0 = off (ref)
+    split_shrink: float = 1.6        # 3DGS split scale divisor
+    opacity_reset_interval: int = 0  # 3DGS: clamp opacities to <= reset value
+                                     # every N iters (fights floaters);
+                                     # 0 = off (reference behavior)
+    opacity_reset_value: float = 0.01
+    means_lr_final: float = 1.0      # final means-lr multiplier, decayed
+                                     # exponentially over iters (3DGS uses
+                                     # ~0.01); 1.0 = constant lr (reference)
     log_every: int = 25            # print cadence (reference prints every 25, :315)
     checkpoint_every: int = 0      # 0 = only final artifacts (reference behavior)
     resume: bool = False           # resume from latest checkpoint in out_dir
