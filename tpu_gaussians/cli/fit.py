@@ -87,6 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "every N iters; 0 disables (reference behavior)")
     ap.add_argument("--opacity_reset_value", type=float,
                     default=d.opacity_reset_value)
+    ap.add_argument("--init_npz", default=d.init_npz,
+                    help="warm-start from an exported gaussians npz (e.g. "
+                         "import_colmap --init_out); overrides random init")
     ap.add_argument("--means_lr_final", type=float, default=d.means_lr_final,
                     help="final positional-lr multiplier, decayed "
                          "exponentially over --iters (3DGS uses ~0.01); "

@@ -112,9 +112,25 @@ def fit(
     key = jax.random.PRNGKey(config.seed)
     key, k_init = jax.random.split(key)
     capacity = max(config.max_gaussians, config.num_gaussians)
-    raw = init_params(k_init, config.num_gaussians, capacity, config.use_sh,
-                      use_quats=(getattr(config, "footprint", "axis") == "ewa"),
-                      sh_degree=getattr(config, "sh_degree", 1))
+    init_npz = getattr(config, "init_npz", "")
+    if init_npz:
+        from tpu_gaussians.io.npz import load_gaussians_npz
+        from tpu_gaussians.models.gaussian_model import raw_from_gaussians
+
+        g0 = load_gaussians_npz(init_npz)
+        capacity = max(capacity, int(np.sum(np.asarray(g0.alive_mask()) > 0.5)))
+        raw = raw_from_gaussians(g0, capacity)
+        if bool(raw.use_sh) != bool(config.use_sh):
+            raise ValueError(
+                "--init_npz SH-ness must match --use_sh "
+                f"(init has sh={raw.use_sh}, flag use_sh={config.use_sh})")
+        print(f"Initialized {int(np.sum(np.asarray(raw.alive_mask()) > .5))} "
+              f"gaussians from {init_npz} (capacity {capacity})")
+    else:
+        raw = init_params(
+            k_init, config.num_gaussians, capacity, config.use_sh,
+            use_quats=(getattr(config, "footprint", "axis") == "ewa"),
+            sh_degree=getattr(config, "sh_degree", 1))
 
     tx = make_optimizer(config.lr)
     state = init_state(raw, tx)

@@ -142,6 +142,129 @@ def init_params(
                      alive=alive, quats_raw=quats_raw)
 
 
+def init_params_from_points(
+    key: Array, points: Array, rgb: Array, capacity: int,
+    use_sh: bool = False, use_quats: bool = False, sh_degree: int = 1,
+) -> RawParams:
+    """3DGS-style initialization from an SfM point cloud (e.g. COLMAP
+    points3D): means = points, color init from the point RGB, per-point
+    scale from the nearest-neighbor distance (isotropic), opacity raw
+    -2.2 like the reference init.
+
+    points (P,3) / rgb (P,3 in [0,1]); P > capacity is subsampled
+    uniformly. NN distance is estimated against <=4096 random anchors
+    (exact for P <= 4096) — the 3DGS recipe clamps scales to sane
+    bounds anyway.
+    """
+    import numpy as np
+
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    col = np.clip(np.asarray(rgb, np.float32).reshape(-1, 3), 0.0, 1.0)
+    p = pts.shape[0]
+    if p == 0:
+        raise ValueError("init_params_from_points: empty point cloud")
+    k_sub, k_anchor = jax.random.split(key)
+    if p > capacity:
+        sel = np.asarray(jax.random.choice(
+            k_sub, p, (capacity,), replace=False))
+        pts, col = pts[sel], col[sel]
+        p = capacity
+
+    # Per-point NN distance against a random anchor subset.
+    n_anchor = min(p, 4096)
+    anchor_idx = (np.arange(p) if n_anchor == p else np.asarray(
+        jax.random.choice(k_anchor, p, (n_anchor,), replace=False)))
+    anchors = pts[anchor_idx]
+    d2 = (np.sum(pts * pts, 1)[:, None] + np.sum(anchors * anchors, 1)[None]
+          - 2.0 * pts @ anchors.T)
+    d2[np.arange(p)[:, None] == anchor_idx[None, :]] = np.inf
+    nn = np.sqrt(np.maximum(np.min(d2, axis=1), 1e-12))
+    extent = float(np.linalg.norm(pts.max(0) - pts.min(0)) + 1e-6)
+    nn = np.clip(nn, 1e-4 * extent, 0.1 * extent)
+    # softplus(raw) + 1e-3 = nn  ->  raw = softplus^-1(nn - 1e-3)
+    y = np.maximum(nn - 1e-3, 1e-6)
+    scales_val = (y + np.log1p(-np.exp(-np.maximum(y, 1e-6)))
+                  ).astype(np.float32)
+
+    c = capacity
+    means = jnp.zeros((c, 3), jnp.float32).at[:p].set(jnp.asarray(pts))
+    scales_raw = jnp.full((c, 3), -2.2, jnp.float32).at[:p].set(
+        jnp.asarray(np.repeat(scales_val[:, None], 3, axis=1)))
+    opacities_raw = jnp.full((c,), -2.2, jnp.float32)
+    alive = (jnp.arange(c) < p).astype(jnp.float32)
+    quats_raw = None
+    if use_quats:
+        quats_raw = jnp.zeros((c, 4), jnp.float32).at[:, 0].set(1.0)
+
+    if use_sh:
+        from tpu_gaussians.ops.sh import SH_C0, sh_bands
+
+        bands = sh_bands(sh_degree)
+        dc = jnp.asarray(col)
+        if bands > 4:  # 3DGS convention: color = 0.5 + C0 * dc
+            dc = (dc - 0.5) / SH_C0
+        sh_raw = jnp.zeros((c, bands, 3), jnp.float32)
+        sh_raw = sh_raw.at[:p, 0, :].set(dc)
+        return RawParams(means=means, scales_raw=scales_raw,
+                         opacities_raw=opacities_raw, sh_raw=sh_raw,
+                         alive=alive, quats_raw=quats_raw)
+
+    # colors = sigmoid(colors_raw): invert with a clamp away from {0,1}.
+    cc = np.clip(col, 1e-4, 1.0 - 1e-4)
+    colors_val = np.log(cc) - np.log1p(-cc)
+    colors_raw = jnp.zeros((c, 3), jnp.float32).at[:p].set(
+        jnp.asarray(colors_val.astype(np.float32)))
+    return RawParams(means=means, scales_raw=scales_raw,
+                     opacities_raw=opacities_raw, colors_raw=colors_raw,
+                     alive=alive, quats_raw=quats_raw)
+
+
+def raw_from_gaussians(g, capacity: int = 0) -> RawParams:
+    """Invert the reference activations: activated Gaussians -> RawParams
+    padded to `capacity` (0 = exactly the alive count). Used to warm-start
+    a fit from an exported npz/ply (--init_npz)."""
+    import numpy as np
+
+    alive = np.asarray(g.alive_mask()) > 0.5
+    means = np.asarray(g.means, np.float32)[alive]
+    scales = np.asarray(g.scales, np.float32)[alive]
+    op = np.asarray(g.opacities, np.float32)[alive]
+    n = means.shape[0]
+    c = max(capacity, n)
+
+    y = np.maximum(scales - 1e-3, 1e-6)
+    scales_raw_v = (y + np.log1p(-np.exp(-y))).astype(np.float32)
+    opc = np.clip(op, 1e-6, 1.0 - 1e-6)
+    op_raw_v = (np.log(opc) - np.log1p(-opc)).astype(np.float32)
+
+    means_j = jnp.zeros((c, 3), jnp.float32).at[:n].set(jnp.asarray(means))
+    scales_j = jnp.full((c, 3), -2.2, jnp.float32).at[:n].set(
+        jnp.asarray(scales_raw_v))
+    op_j = jnp.full((c,), -2.2, jnp.float32).at[:n].set(
+        jnp.asarray(op_raw_v))
+    alive_j = (jnp.arange(c) < n).astype(jnp.float32)
+    quats_j = None
+    if g.quats is not None:
+        q = np.asarray(g.quats, np.float32)[alive]
+        quats_j = jnp.zeros((c, 4), jnp.float32).at[:, 0].set(1.0)
+        quats_j = quats_j.at[:n].set(jnp.asarray(q))
+
+    if g.use_sh:
+        sh = np.asarray(g.sh, np.float32)[alive]
+        sh_j = jnp.zeros((c,) + sh.shape[1:], jnp.float32).at[:n].set(
+            jnp.asarray(sh))
+        return RawParams(means=means_j, scales_raw=scales_j,
+                         opacities_raw=op_j, sh_raw=sh_j, alive=alive_j,
+                         quats_raw=quats_j)
+    col = np.clip(np.asarray(g.colors, np.float32)[alive], 1e-4, 1 - 1e-4)
+    col_raw_v = (np.log(col) - np.log1p(-col)).astype(np.float32)
+    col_j = jnp.zeros((c, 3), jnp.float32).at[:n].set(
+        jnp.asarray(col_raw_v))
+    return RawParams(means=means_j, scales_raw=scales_j,
+                     opacities_raw=op_j, colors_raw=col_j, alive=alive_j,
+                     quats_raw=quats_j)
+
+
 def activate(raw: RawParams) -> Gaussians:
     """Raw -> render-ready activated Gaussians (reference activations).
 

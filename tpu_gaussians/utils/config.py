@@ -64,6 +64,9 @@ class FitConfig:
                                      # every N iters (fights floaters);
                                      # 0 = off (reference behavior)
     opacity_reset_value: float = 0.01
+    init_npz: str = ""               # warm-start from an exported npz
+                                     # (e.g. import_colmap --init_out, or a
+                                     # previous fit); overrides random init
     means_lr_final: float = 1.0      # final means-lr multiplier, decayed
                                      # exponentially over iters (3DGS uses
                                      # ~0.01); 1.0 = constant lr (reference)
