@@ -1,0 +1,99 @@
+"""At-scale render fwd+bwd timings (the BASELINE.md 100k-gaussian rows).
+
+Measures the marginal device time of a full differentiable render
+(prepare + binner + kernel + resolve + backward to raw param cotangents)
+for the sorted and accum modes at large N — the training-step shape
+minus loss/optimizer, matching how BASELINE.md's at-scale numbers were
+taken.
+
+Usage: python bench/at_scale.py --n 100000 --sizes 512,1024 [--fp axis]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def marginal(fn, args, k1=2, k2=8, reps=2):
+    def multi(k, *a):
+        def body(i, acc):
+            out = fn(*jax.tree.map(
+                lambda x: x + 0.0 * acc
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, a))
+            return jnp.float32(jax.tree.leaves(out)[0].reshape(-1)[0])
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+    jf = jax.jit(multi, static_argnums=0)
+
+    def timed(k):
+        float(jf(k, *args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jf(k, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = timed(k1), timed(k2)
+    return max((t2 - t1) / (k2 - k1), 1e-9)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--sizes", type=str, default="512,1024")
+    ap.add_argument("--fp", type=str, default="axis",
+                    choices=["axis", "ewa"])
+    ap.add_argument("--modes", type=str, default="sorted,accum")
+    args = ap.parse_args()
+
+    from tpu_gaussians.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from tpu_gaussians.core import camera as cam
+    from tpu_gaussians.core.types import Gaussians, RenderConfig
+    from tpu_gaussians.ops.dispatch import render
+
+    N = args.n
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    g = Gaussians(
+        means=jax.random.uniform(ks[0], (N, 3), jnp.float32, -1.0, 1.0),
+        scales=jax.random.uniform(ks[1], (N, 3), jnp.float32, 0.005, 0.03),
+        colors=jax.random.uniform(ks[2], (N, 3), jnp.float32),
+        opacities=jax.random.uniform(ks[3], (N,), jnp.float32, 0.2, 0.9),
+    )
+
+    for size in [int(x) for x in args.sizes.split(",")]:
+        c = cam.orbit_cameras(1, size, size)
+        cam1 = jax.tree.map(lambda x: x[0] if x.ndim > 2 else x, c)
+        tgt = jax.random.uniform(jax.random.PRNGKey(9),
+                                 (size, size, 3), jnp.float32)
+
+        for mode in args.modes.split(","):
+            rc = RenderConfig(width=size, height=size, impl="pallas",
+                              mode=mode, footprint=args.fp)
+
+            def loss(gg):
+                img = render(gg, cam1, rc)
+                if isinstance(img, tuple):
+                    img = img[0]
+                return jnp.mean(jnp.abs(img - tgt))
+
+            def step(gg):
+                l, gr = jax.value_and_grad(loss)(gg)
+                return l, gr
+
+            t = marginal(step, (g,))
+            print(f"N={N} {size}x{size} {mode}/{args.fp}: "
+                  f"fwd+bwd {t*1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

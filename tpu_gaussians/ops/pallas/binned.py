@@ -63,6 +63,7 @@ from tpu_gaussians.ops.pallas.sorted import (
     _bin_pairs_2d,
     _k_pairs,
     crop_tiled_acc,
+    moment_postpass_t,
     pack_gdataT_prio,
 )
 from tpu_gaussians.ops.pallas.splat import (
@@ -314,25 +315,6 @@ def _binned_bwd_kernel_sep(cnt_ref, gdense_ref, gband_ref, out_ref,
 
 
 # ----------------------------------------------------------- post-passes
-
-
-def moment_postpass_t(gdense_t: Array, raw_t: Array) -> Array:
-    """Transposed chain-rule post-pass (general kernels): raw rows
-    [Mdx, Mdy, Mxx, Mxy, Myy, M0, g_feat(8)] (moments of g_e) ->
-    gdenseT-layout gradients, all on dense (S,) rows."""
-    a, b, c = gdense_t[2], gdense_t[3], gdense_t[4]
-    op = gdense_t[5]
-    mdx, mdy = raw_t[0], raw_t[1]
-    mxx, mxy, myy, m0 = raw_t[2], raw_t[3], raw_t[4], raw_t[5]
-    g_head = jnp.stack(
-        [a * mdx + b * mdy,
-         b * mdx + c * mdy,
-         -0.5 * mxx, -mxy, -0.5 * myy,
-         jnp.where(op > 0, m0 / jnp.where(op > 0, op, 1.0), 0.0)],
-        axis=0)
-    return jnp.concatenate(
-        [g_head, raw_t[6:6 + FEAT_PAD],
-         jnp.zeros_like(raw_t[6 + FEAT_PAD:])], axis=0)
 
 
 def moment_postpass_opfold_t(gdense_t: Array, raw_t: Array) -> Array:

@@ -22,8 +22,10 @@ a monotone integer transform of the -z float bits, and the index key
 reproduces the stable tie-break of `argsort(-z)`, so the composite order
 is bit-identical to the jnp oracle. Per-tile dense, depth-ordered lists
 are then materialized by *gather* (position arithmetic from searchsorted
-offsets — no scatter; the row-major gathered lists feed the kernel
-directly, gaussians on sublanes / pixels on lanes, no transpose). The
+offsets — no scatter), stored lane-dense TRANSPOSED (GD_ROWS, slots) —
+row-major (slots, 16) lists tile-pad 8x in HBM — and flipped to compute
+orientation (gaussians on sublanes / pixels on lanes) with one in-kernel
+(16, 128) transpose per sub-block. The
 kernel grid is (tiles x chunks): chunks stream through VMEM via
 BlockSpec auto-DMA; per-tile running transmittance lives in VMEM
 scratch ((1, TP) lane-dense), with within-chunk ordering via an
@@ -183,20 +185,21 @@ def _sorted_kernel(cnt_ref, gdense_ref, acc_ref, rgbw_ref, trans_ref,
 
         trans = trans_ref[:]                     # (1, TP)
         rgbw = rgbw_ref[:]
-        # Gaussians on SUBLANES, pixels on LANES: the gdense chunk arrives
-        # row-major (NBS, 16) straight from the slot gather — no host-side
-        # transpose of the dense lists is needed.
+        # Gaussians on SUBLANES, pixels on LANES for the compute; the
+        # gdense chunk arrives TRANSPOSED (GD_ROWS, NBS) — the lane-dense
+        # HBM layout (a row-major (slots, 16) array tile-pads its 16
+        # lanes to 128, an 8x HBM tax on both the XLA-side gather and
+        # every chunk DMA) — and each 128-gaussian sub-block is flipped
+        # to compute orientation with one in-kernel (16, 128) transpose.
         #
         # Sub-blocked ordered merge: the exclusive cumprod costs log2(n)
         # roll+select+mul passes over the whole tile, so four 128-row
         # cumprods (7 passes each on 1/4 the data) beat one 512-row
         # cumprod (9 passes on all of it) ~2.6x; ordering across
-        # sub-blocks is carried by the running transmittance. Each
-        # sub-block is read straight from the ref (Mosaic cannot
-        # sublane-slice large vector values).
+        # sub-blocks is carried by the running transmittance.
         sub = NBS // 4
         for sb in range(4):
-            gd = gdense_ref[sb * sub:(sb + 1) * sub, :]  # (sub, GD_ROWS)
+            gd = gdense_ref[:, sb * sub:(sb + 1) * sub].T  # (sub, GD_ROWS)
             if axis:
                 a_raw, _, _ = _a_raw_sep(gd, xc, yr)
             else:
@@ -327,19 +330,18 @@ def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
 
     # Priority key: depth for compositing, opacity for accumulation
     # (see docstring step 1). _zkey_desc gives ascending-sort ==
-    # key-value DESCENDING for both.
+    # key-value DESCENDING for both. The rect inputs ride the sort as
+    # VALUE operands: carrying values through lax.sort is nearly free
+    # (~0.2 ms at 1M), while permuting them afterwards costs ~5.7 ms as
+    # a packed row gather — a (n, 8) row-major array tile-pads 16x — and
+    # ~35 ms as per-column 1-D gathers (measured, v5e).
     prio = _zkey_desc(z_cam) if zsort else _zkey_desc(op_eff)
-    _, order = jax.lax.sort(
-        (prio, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-    # Rect inputs permuted to priority order via ONE packed row gather
-    # (row gathers are ~10x cheaper than per-column element gathers).
-    packed = jnp.stack([px, py, sigma_x, sigma_y, op_eff,
-                        jnp.zeros_like(px), jnp.zeros_like(px),
-                        jnp.zeros_like(px)], axis=1)   # (n, 8)
-    ps = packed[order]
+    _, order, pxs, pys, sxs, sys_, ops = jax.lax.sort(
+        (prio, jnp.arange(n, dtype=jnp.int32),
+         px, py, sigma_x, sigma_y, op_eff), num_keys=1)
 
     tx_lo, ty_lo, kx_c, ky_c, count = _tile_rects(
-        ps[:, 0], ps[:, 1], ps[:, 2], ps[:, 3], ps[:, 4],
+        pxs, pys, sxs, sys_, ops,
         tiles_x, tiles_y, k, width, height, cutoff=cutoff)
 
     m_per = max(1, CHUNK_TARGET // k)              # gaussians per chunk
@@ -484,26 +486,27 @@ def crop_tiled_acc(acc: Array, tiles_y: int, tiles_x: int,
     return full[:height, :width]
 
 
-def moment_postpass(gdense: Array, raw: Array) -> Array:
+def moment_postpass_t(gdense_t: Array, raw_t: Array) -> Array:
     """O(N) chain-rule post-pass shared by the sorted and binned
-    backwards: raw slot rows [Mdx, Mdy, Mxx, Mxy, Myy, M0, g_feat(8)]
-    (moments of g_e) -> gdense-layout gradients. For
-    e = -(a dx^2 + 2 b dxdy + c dy^2)/2 and w = op * exp(e):
+    backwards (TRANSPOSED layout, all on dense (S,) rows): raw slot rows
+    [Mdx, Mdy, Mxx, Mxy, Myy, M0, g_feat(8)] (moments of g_e) ->
+    gdenseT-layout gradients. For e = -(a dx^2 + 2 b dxdy + c dy^2)/2
+    and w = op * exp(e):
       g_px = a Mdx + b Mdy, g_py = b Mdx + c Mdy,
       g_{a,b,c} = -(Mxx/2, Mxy, Myy/2), g_op = M0 / op."""
-    a, b, c = gdense[:, 2], gdense[:, 3], gdense[:, 4]
-    op = gdense[:, 5]
-    mdx, mdy = raw[:, 0], raw[:, 1]
-    mxx, mxy, myy, m0 = raw[:, 2], raw[:, 3], raw[:, 4], raw[:, 5]
+    a, b, c = gdense_t[2], gdense_t[3], gdense_t[4]
+    op = gdense_t[5]
+    mdx, mdy = raw_t[0], raw_t[1]
+    mxx, mxy, myy, m0 = raw_t[2], raw_t[3], raw_t[4], raw_t[5]
     g_head = jnp.stack(
         [a * mdx + b * mdy,
          b * mdx + c * mdy,
          -0.5 * mxx, -mxy, -0.5 * myy,
          jnp.where(op > 0, m0 / jnp.where(op > 0, op, 1.0), 0.0)],
-        axis=1)
+        axis=0)
     return jnp.concatenate(
-        [g_head, raw[:, 6:6 + FEAT_PAD],
-         jnp.zeros_like(raw[:, 6 + FEAT_PAD:])], axis=1)
+        [g_head, raw_t[6:6 + FEAT_PAD],
+         jnp.zeros_like(raw_t[6 + FEAT_PAD:])], axis=0)
 
 
 def sorted_composite_pallas(
@@ -537,9 +540,12 @@ def sorted_composite_pallas(
         stop(s.op_eff), stop(z_cam),
         tiles_x, tiles_y, band_capacity, width, height)
 
-    gdense = pack_gdataT_prio(s, order)[slots]            # (tiles*cap, 16)
+    # Row gather fused into the transpose -> ONE lane-dense (GD_ROWS, S)
+    # write (a materialized (S, GD_ROWS) array would tile-pad 8x; see
+    # binned.py for the same layout argument).
+    gdense_t = pack_gdataT_prio(s, order)[slots].T        # (16, tiles*cap)
 
-    acc = _sorted_core(gdense, cnt.astype(jnp.int32), tiles_x, n_tiles,
+    acc = _sorted_core(gdense_t, cnt.astype(jnp.int32), tiles_x, n_tiles,
                        chunks_per_tile, axis)
 
     full = crop_tiled_acc(acc, tiles_y, tiles_x, height, width)
@@ -557,9 +563,9 @@ def _sorted_fwd_call(gdense, cnt, tiles_x: int, n_tiles: int,
         grid=(n_tiles, chunks_per_tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # cnt
-            pl.BlockSpec((NBS, GD_ROWS),
-                         lambda i, j: (i * chunks_per_tile + j, 0),
-                         memory_space=pltpu.VMEM),    # gdense chunk
+            pl.BlockSpec((GD_ROWS, NBS),
+                         lambda i, j: (0, i * chunks_per_tile + j),
+                         memory_space=pltpu.VMEM),    # gdenseT chunk
         ],
         out_specs=pl.BlockSpec((FEAT_PAD, TPS), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
@@ -629,7 +635,7 @@ def _sorted_bwd_kernel(cnt_ref, gdense_ref, acc_ref, g8_ref, out_ref,
 
         sub = NBS // 4
         for sb in range(4):
-            gd = gdense_ref[sb * sub:(sb + 1) * sub, :]  # (sub, GD_ROWS)
+            gd = gdense_ref[:, sb * sub:(sb + 1) * sub].T  # (sub, GD_ROWS)
             if axis:
                 a_raw, txd, tyd = _a_raw_sep(gd, xc, yr)
                 dx = jnp.concatenate([txd] * TH, axis=1)     # (sub, TP)
@@ -680,10 +686,10 @@ def _sorted_bwd_kernel(cnt_ref, gdense_ref, acc_ref, g8_ref, out_ref,
                 contrib, g8, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision="highest",
             )                                   # (sub, 8)
-            out_ref[sb * sub:(sb + 1) * sub, :] = jnp.concatenate(
+            out_ref[:, sb * sub:(sb + 1) * sub] = jnp.concatenate(
                 [mdx, mdy, mxx, mxy, myy, m0, g_feat,
                  jnp.zeros((sub, GD_ROWS - 6 - FEAT_PAD), jnp.float32)],
-                axis=1)
+                axis=1).T
 
             u_c = up[sub - 1:sub, :]
             trans = trans - jnp.sum(contrib, axis=0, keepdims=True)
@@ -692,27 +698,27 @@ def _sorted_bwd_kernel(cnt_ref, gdense_ref, acc_ref, g8_ref, out_ref,
         u_ref[:] = u_c
 
 
-def _sorted_bwd_call(gdense, cnt, acc, g8, tiles_x: int, n_tiles: int,
+def _sorted_bwd_call(gdense_t, cnt, acc, g8, tiles_x: int, n_tiles: int,
                      chunks_per_tile: int, axis: bool = False) -> Array:
-    rows = gdense.shape[0]
+    cols = gdense_t.shape[1]
     return pl.pallas_call(
         functools.partial(_sorted_bwd_kernel, tiles_x=tiles_x,
                           chunks_per_tile=chunks_per_tile, axis=axis),
         grid=(n_tiles, chunks_per_tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # cnt
-            pl.BlockSpec((NBS, GD_ROWS),
-                         lambda i, j: (i * chunks_per_tile + j, 0),
-                         memory_space=pltpu.VMEM),    # gdense chunk
+            pl.BlockSpec((GD_ROWS, NBS),
+                         lambda i, j: (0, i * chunks_per_tile + j),
+                         memory_space=pltpu.VMEM),    # gdenseT chunk
             pl.BlockSpec((FEAT_PAD, TPS), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),    # acc (fwd output)
             pl.BlockSpec((FEAT_PAD, TPS), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),    # g8 (cotangent)
         ],
-        out_specs=pl.BlockSpec((NBS, GD_ROWS),
-                               lambda i, j: (i * chunks_per_tile + j, 0),
+        out_specs=pl.BlockSpec((GD_ROWS, NBS),
+                               lambda i, j: (0, i * chunks_per_tile + j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, GD_ROWS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((GD_ROWS, cols), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((1, TPS), jnp.float32),  # transmittance
             pltpu.VMEM((1, TPS), jnp.float32),  # prefix of contrib*(f.g)
@@ -723,35 +729,37 @@ def _sorted_bwd_call(gdense, cnt, acc, g8, tiles_x: int, n_tiles: int,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(cnt, gdense, acc, g8)
+    )(cnt, gdense_t, acc, g8)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _sorted_core(gdense, cnt, tiles_x, n_tiles, chunks_per_tile,
+def _sorted_core(gdense_t, cnt, tiles_x, n_tiles, chunks_per_tile,
                  axis=False):
-    """acc (FEAT_PAD, n_tiles*TPS) from dense per-tile lists; row 3 of
-    the output is 1 - T_final (== sum of contribs, exactly in real
-    arithmetic). Differentiable in gdense via the fused backward.
-    axis=True (caller-asserted conic b == 0) builds alphas from separable
-    factors ((TWC+TH) exps per gaussian instead of TPS)."""
-    return _sorted_fwd_call(gdense, cnt, tiles_x, n_tiles, chunks_per_tile,
-                            axis)
+    """acc (FEAT_PAD, n_tiles*TPS) from TRANSPOSED dense per-tile lists
+    (GD_ROWS, tiles*cap); row 3 of the output is 1 - T_final (== sum of
+    contribs, exactly in real arithmetic). Differentiable in gdense_t via
+    the fused backward. axis=True (caller-asserted conic b == 0) builds
+    alphas from separable factors ((TWC+TH) exps per gaussian instead of
+    TPS)."""
+    return _sorted_fwd_call(gdense_t, cnt, tiles_x, n_tiles,
+                            chunks_per_tile, axis)
 
 
-def _sorted_core_fwd(gdense, cnt, tiles_x, n_tiles, chunks_per_tile, axis):
-    acc = _sorted_fwd_call(gdense, cnt, tiles_x, n_tiles, chunks_per_tile,
-                           axis)
-    return acc, (gdense, cnt, acc)
+def _sorted_core_fwd(gdense_t, cnt, tiles_x, n_tiles, chunks_per_tile,
+                     axis):
+    acc = _sorted_fwd_call(gdense_t, cnt, tiles_x, n_tiles,
+                           chunks_per_tile, axis)
+    return acc, (gdense_t, cnt, acc)
 
 
 def _sorted_core_bwd(tiles_x, n_tiles, chunks_per_tile, axis, res, g_acc):
     import numpy as np
 
-    gdense, cnt, acc = res
-    raw = _sorted_bwd_call(gdense, cnt, acc, g_acc, tiles_x, n_tiles,
-                           chunks_per_tile, axis)
+    gdense_t, cnt, acc = res
+    raw_t = _sorted_bwd_call(gdense_t, cnt, acc, g_acc, tiles_x, n_tiles,
+                             chunks_per_tile, axis)
     g_cnt = np.zeros(cnt.shape, jax.dtypes.float0)
-    return moment_postpass(gdense, raw), g_cnt
+    return moment_postpass_t(gdense_t, raw_t), g_cnt
 
 
 _sorted_core.defvjp(_sorted_core_fwd, _sorted_core_bwd)
