@@ -81,13 +81,13 @@ def main():
     results = {}
 
     def f_bin(si, zz):
-        _, slots, cnt = srt._bin_pairs_2d(
+        _, slots, cnt, _st = srt._bin_pairs_2d(
             si.px, si.py, si.sigma_x, si.sigma_y, si.op_eff, zz,
             tiles_x, tiles_y, cap, W, H)
         return slots.astype(jnp.float32), cnt
     results["bin_pairs_2d"] = timeit(jax.jit(f_bin), (s, z))
 
-    order, slots, cnt = jax.jit(lambda si, zz: srt._bin_pairs_2d(
+    order, slots, cnt, _st = jax.jit(lambda si, zz: srt._bin_pairs_2d(
         si.px, si.py, si.sigma_x, si.sigma_y, si.op_eff, zz,
         tiles_x, tiles_y, cap, W, H))(s, z)
     jax.block_until_ready((slots, cnt))
@@ -143,7 +143,7 @@ def main():
     bg = jnp.zeros((3,), jnp.float32)
 
     def f_full(si, zz):
-        img, alpha = srt.sorted_composite_pallas(
+        img, alpha, _ = srt.sorted_composite_pallas(
             si, zz, bg, H, W, band_capacity=args.band_capacity)
         return img
     results["full"] = timeit(jax.jit(f_full), (s, z))

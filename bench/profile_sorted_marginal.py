@@ -101,7 +101,7 @@ def main():
     results["rects"] = marginal(f_rects, (s, z))
 
     def f_bin(si, zz):
-        _, slots, cnt = srt._bin_pairs_2d(
+        _, slots, cnt, _st = srt._bin_pairs_2d(
             si.px, si.py, si.sigma_x, si.sigma_y, si.op_eff, zz,
             tiles_x, tiles_y, cap, W, H)
         return slots.astype(jnp.float32)
@@ -110,7 +110,7 @@ def main():
     bg = jnp.zeros((3,), jnp.float32)
 
     def f_full(si, zz):
-        img, _ = srt.sorted_composite_pallas(
+        img, _, _ = srt.sorted_composite_pallas(
             si, zz, bg, H, W, band_capacity=args.band_capacity)
         return img
     results["full"] = marginal(f_full, (s, z))

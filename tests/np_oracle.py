@@ -109,14 +109,18 @@ def render_accum(means, scales, colors, opacities, view, proj, width, height,
 
 def render_sorted(means, scales, colors, opacities, view, proj, width, height,
                   background=(0.0, 0.0, 0.0), alpha_cutoff=1e-5):
-    """Depth-sorted front-to-back mode -> (image, alpha), float64."""
+    """Depth-sorted front-to-back mode -> (image, alpha, depth), float64.
+
+    depth is the alpha-weighted expected camera depth
+    sum_i contrib_i * z_abs_i / (alpha + 1e-6) — the sorted-mode analog of
+    the accumulation depth aux (torch_renderer.py:202-203)."""
     means, scales, view, proj = (
         np.asarray(a, dtype=np.float64) for a in (means, scales, view, proj)
     )
     opacities = np.asarray(opacities, dtype=np.float64)
     background = np.asarray(background, dtype=np.float64)
 
-    px, py, _, valid, sx, sy, zc = _screen_quantities(
+    px, py, z_abs, valid, sx, sy, zc = _screen_quantities(
         means, scales, view, proj, width, height
     )
     col = np.clip(eval_colors(colors, means, view), 0.0, 1.0)
@@ -129,6 +133,7 @@ def render_sorted(means, scales, colors, opacities, view, proj, width, height,
     order = np.argsort(-zc, kind="stable")
     rgb = np.zeros((height, width, 3))
     a_acc = np.zeros((height, width))
+    d_acc = np.zeros((height, width))
     for i in order:
         if not valid[i]:
             continue
@@ -139,6 +144,8 @@ def render_sorted(means, scales, colors, opacities, view, proj, width, height,
         a = np.where(a < alpha_cutoff, 0.0, np.clip(a, 0.0, 1.0))
         contrib = (1.0 - a_acc) * a
         rgb += contrib[..., None] * col[i][None, None]
+        d_acc += contrib * z_abs[i]
         a_acc += contrib
     image = np.clip(rgb + (1.0 - a_acc)[..., None] * background[None, None], 0, 1)
-    return image, a_acc
+    depth = np.maximum(d_acc / (a_acc + 1e-6), 0.0)
+    return image, a_acc, depth

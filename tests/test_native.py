@@ -62,7 +62,7 @@ def test_sorted_mode_matches_oracle():
         width=W, height=H, background=(0.02, 0.02, 0.02),
         depth_sort=True, as_float=True,
     )
-    ref_img, ref_alpha = np_oracle.render_sorted(
+    ref_img, ref_alpha, _ = np_oracle.render_sorted(
         means, scales, colors, opacities, view, proj, W, H,
         background=(0.02, 0.02, 0.02),
     )

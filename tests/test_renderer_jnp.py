@@ -45,8 +45,8 @@ def test_sorted_matches_oracle():
     cfg = RenderConfig(width=W, height=H, impl="jnp", mode="sorted",
                        return_aux=True, background=(0.02, 0.02, 0.02),
                        chunk_size=8)
-    image, alpha = render(g, c, cfg)
-    ref_img, ref_alpha = np_oracle.render_sorted(
+    image, alpha, _ = render(g, c, cfg)
+    ref_img, ref_alpha, _ = np_oracle.render_sorted(
         *_oracle_args(g, c), W, H, background=(0.02, 0.02, 0.02)
     )
     np.testing.assert_allclose(np.asarray(image), ref_img, atol=3e-5)

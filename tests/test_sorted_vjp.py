@@ -23,7 +23,7 @@ def _loss(impl, width=64, height=48):
                           mode="sorted")
 
     def f(g, view, proj, wi, wa):
-        img, alpha = render_sorted(g, view, proj, config)
+        img, alpha, _ = render_sorted(g, view, proj, config)
         return jnp.sum(img * wi) + jnp.sum(alpha * wa)
 
     return f
@@ -72,6 +72,77 @@ def test_sorted_grad_finite_difference():
         an = grad.means[i, d]
         assert abs(float(fd - an)) <= 2e-2 * max(1.0, abs(float(fd))), (
             f"fd {float(fd)} vs analytic {float(an)} at means[{i},{d}]")
+
+
+@pytest.mark.parametrize("seed,n", [(2, 48), (5, 257)])
+def test_sorted_depth_value_and_grad_parity(seed, n):
+    """The sorted expected-depth aux agrees between pallas and the jnp
+    oracle (VERDICT round-1 item #5: feats row 4 already carries z, the
+    kernel emits sum T*a*z for free), in value AND in gradient."""
+    g = random_scene(n, seed=seed)
+    c = cam.orbit_cameras(1, 64, 48)
+    view, proj = c.view[0], c.proj[0]
+
+    # The resolve num/(alpha + 1e-6) amplifies tiny float diffs where
+    # alpha ~ 1e-6 (empty pixels; same amplification exists in the
+    # reference's own depth aux) — weight the comparison and the test
+    # loss by covered pixels only.
+    aj, dj = render_sorted(g, view, proj,
+                           RenderConfig(width=64, height=48, impl="jnp",
+                                        mode="sorted"))[1:]
+    ap, dp = render_sorted(g, view, proj,
+                           RenderConfig(width=64, height=48, impl="pallas",
+                                        mode="sorted"))[1:]
+    covered = jnp.asarray(np.asarray(aj) > 0.05, jnp.float32)
+    np.testing.assert_allclose(np.asarray(dp * covered),
+                               np.asarray(dj * covered),
+                               rtol=1e-4, atol=1e-4)
+
+    wd = jax.random.normal(jax.random.PRNGKey(seed), (48, 64)) * covered
+
+    def f(impl):
+        config = RenderConfig(width=64, height=48, impl=impl, mode="sorted")
+
+        def loss(gg):
+            _, _, depth = render_sorted(gg, view, proj, config)
+            return jnp.sum(depth * wd)
+
+        return loss
+
+    gp = jax.grad(f("pallas"))(g)
+    gj = jax.grad(f("jnp"))(g)
+    for name in ("means", "scales", "opacities"):
+        got = np.asarray(getattr(gp, name))
+        want = np.asarray(getattr(gj, name))
+        scale = max(1e-3, float(np.abs(want).max()))
+        np.testing.assert_allclose(
+            got, want, rtol=2e-3, atol=2e-4 * scale,
+            err_msg=f"depth-grad mismatch for {name}")
+
+
+def test_sorted_mode_depth_supervision_runs():
+    """Config #4's full loss stack (L1 + silhouette + depth) now runs in
+    sorted mode (VERDICT item #5 lifted the fit/loss.py restriction)."""
+    from tpu_gaussians.fit.loss import LossConfig, loss_fn
+    from tpu_gaussians.models.gaussian_model import init_params
+
+    raw = init_params(jax.random.PRNGKey(0), 32, 48)
+    c = cam.orbit_cameras(2, 32, 32)
+    targets = jnp.full((2, 32, 32, 3), 0.4)
+    masks = jnp.ones((2, 32, 32))
+    depths = jnp.full((2, 32, 32), 0.5)
+    rc = RenderConfig(width=32, height=32, impl="jnp", mode="sorted",
+                      chunk_size=16)
+    lc = LossConfig(depth_weight=0.05)
+
+    loss, metrics = loss_fn(raw, c, targets, masks, depths, rc, lc)
+    assert np.isfinite(float(loss))
+    assert float(metrics["depth"]) > 0.0
+    grads = jax.grad(
+        lambda r: loss_fn(r, c, targets, masks, depths, rc, lc)[0]
+    )(raw)
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree.leaves(grads))
 
 
 def test_sorted_training_step_decreases_loss():

@@ -61,24 +61,22 @@ def loss_fn(
     render_config.mode selects the compositing model: "accum" (the
     reference's weighted-average training path, torch_renderer.py:192-196)
     or "sorted" (depth-sorted front-to-back alpha blending — the 3DGS
-    training recipe, differentiable via the fused Pallas VJP). Sorted mode
-    has no depth aux, so depth supervision requires mode="accum"."""
+    training recipe, differentiable via the fused Pallas VJP). Both modes
+    emit an expected-depth aux, so the full loss stack (L1 + silhouette +
+    depth supervision, fit_multiview_stub.py:299-303) runs in either."""
     g = activate(raw)
 
     if render_config.mode == "sorted":
-        if depths is not None and loss_config.depth_weight > 0.0:
-            raise ValueError(
-                "depth supervision requires render mode 'accum' "
-                "(sorted compositing emits no depth aux)")
-
         def render_view(view, proj):
-            image, alpha = render_sorted(g, view, proj, render_config)
-            return image, alpha, jnp.zeros_like(alpha)
+            return render_sorted(g, view, proj, render_config,
+                                 return_stats=True)
     else:
         def render_view(view, proj):
-            return render_accum(g, view, proj, render_config)
+            return render_accum(g, view, proj, render_config,
+                                return_stats=True)
 
-    pred, alpha, depth = jax.vmap(render_view)(cameras.view, cameras.proj)
+    pred, alpha, depth, ostats = jax.vmap(render_view)(
+        cameras.view, cameras.proj)
 
     recon = jnp.mean(jnp.abs(pred - targets), axis=(1, 2, 3))  # (V,)
     per_view = recon
@@ -118,6 +116,17 @@ def loss_fn(
         "psnr": psnr(pred, targets),
         "ssim": jnp.mean(ssim_v),
         "n_alive": n_alive,
+        # Binner overflow counters summed over views (zeros on exact
+        # paths) — a nonzero value means this step's render dropped
+        # (gaussian, tile) work to a capacity/budget; see
+        # ops/pallas/sorted.py _bin_pairs_2d for the exact semantics.
+        # float32 so the counters survive pmean in sharded steps.
+        "binner_dropped_pairs": jnp.sum(
+            ostats["dropped_pairs"]).astype(jnp.float32),
+        "binner_full_tiles": jnp.sum(
+            ostats["full_tiles"]).astype(jnp.float32),
+        "binner_clipped_rect_pairs": jnp.sum(
+            ostats["clipped_rect_pairs"]).astype(jnp.float32),
     }
     return loss, metrics
 
@@ -141,10 +150,14 @@ def _blur(x: Array, k: Array) -> Array:
     x = x[:, None, :, :]                                   # NCHW, C=1
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
                                         ("NCHW", "OIHW", "NCHW"))
+    # precision="highest": TPU default conv precision rounds to bf16,
+    # which moves reported SSIM by ~1e-3 — too coarse for an eval metric.
     x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
-                                     dimension_numbers=dn)
+                                     dimension_numbers=dn,
+                                     precision="highest")
     x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
-                                     dimension_numbers=dn)
+                                     dimension_numbers=dn,
+                                     precision="highest")
     return x[:, 0, :, :]
 
 

@@ -176,8 +176,11 @@ def fit(
     # at the end. This removes the per-step dispatch round trip entirely
     # (the reference dispatches eagerly per op, fit_multiview_stub.py:265).
     METRIC_KEYS = ("loss", "recon", "silhouette", "depth", "reg", "psnr",
-                   "ssim", "n_alive", "grad_norm_mean")
+                   "ssim", "n_alive", "grad_norm_mean",
+                   "binner_dropped_pairs", "binner_full_tiles",
+                   "binner_clipped_rect_pairs")
     MAX_SEG = 256
+    warned_lossy = False  # warn ONCE when a step's render dropped work
 
     # 3DGS-style exponential positional-lr decay (piecewise-constant per
     # segment; exact at segment starts). means_lr_final = 1 -> constant.
@@ -249,6 +252,21 @@ def fit(
             last_log_t, last_log_it = now, it
             print(f"iter {it:4d}  loss={lv:.6f}  N={n}  "
                   f"{rate/1e6:.1f} Mpix/s")
+            if not warned_lossy:
+                dropped = float(buf[seg - 1, METRIC_KEYS.index(
+                    "binner_dropped_pairs")])
+                clipped = float(buf[seg - 1, METRIC_KEYS.index(
+                    "binner_clipped_rect_pairs")])
+                if dropped > 0 or clipped > 0:
+                    warned_lossy = True
+                    print(
+                        f"WARNING: this step's render dropped work to "
+                        f"capacity/budget limits ({dropped:.0f} pairs at "
+                        f"tile capacity, {clipped:.0f} rect-budget "
+                        f"overlaps; conservative W_CULL extents in accum "
+                        f"mode). Counters are in metrics.jsonl; raise "
+                        f"tile capacity / use accum_binned=off if "
+                        f"exactness matters.")
 
         densify_fires = (config.densify_interval > 0
                          and it % config.densify_interval == 0)

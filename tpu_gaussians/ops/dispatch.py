@@ -34,10 +34,17 @@ def _resolve_impl(impl: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "jnp"
 
 
+def zero_overflow_stats() -> dict:
+    """The no-binner stats dict (dense kernels / jnp oracle are exact)."""
+    return {"dropped_pairs": jnp.zeros((), jnp.int32),
+            "full_tiles": jnp.zeros((), jnp.int32),
+            "clipped_rect_pairs": jnp.zeros((), jnp.int32)}
+
+
 def render_accum(
     g: Gaussians, view: Array, proj: Array, config: RenderConfig,
-    row0: Union[Array, float, None] = None,
-) -> Tuple[Array, Array, Array]:
+    row0: Union[Array, float, None] = None, return_stats: bool = False,
+) -> Tuple[Array, ...]:
     """Weighted-average mode -> (image, alpha, depth). Differentiable.
 
     row0 (optional, traced ok): render the row window [row0, row0 +
@@ -46,12 +53,17 @@ def render_accum(
     Projection and sigmas must be computed against the FULL frame height,
     so the camera/proj stay those of the full frame; config.height is the
     WINDOW height.
+
+    return_stats appends the binner overflow-counter dict (zeros for the
+    exact dense/jnp paths) — the runtime observability of the scale
+    approximations (VERDICT r1 item #6).
     """
     s = prepare_splats(g, view, proj, config.width, config.full_height(),
                        footprint=config.footprint)
     if row0 is not None:
         s = s._replace(py=s.py - row0)
     impl = _resolve_impl(config.impl)
+    stats = zero_overflow_stats()
     if impl == "pallas":
         from tpu_gaussians.ops.pallas import binned as pallas_binned
         from tpu_gaussians.ops.pallas import splat as pallas_splat
@@ -62,8 +74,9 @@ def render_accum(
                       or (config.accum_binned == "auto"
                           and n >= pallas_binned.binned_min_n(axis)))
         if use_binned:
-            acc = pallas_binned.splat_accumulate_binned(
+            acc, stats = pallas_binned.splat_accumulate_binned(
                 s, config.height, config.width, axis=axis,
+                return_stats=True,
             )
         else:
             acc = pallas_splat.splat_accumulate(
@@ -73,16 +86,21 @@ def render_accum(
         acc = jnp_renderer.accumulate_jnp(
             s, config.height, config.width, chunk=config.chunk_size
         )
-    return resolve_accum(
+    out = resolve_accum(
         acc, config.background_array(), config.height, config.width
     )
+    return out + (stats,) if return_stats else out
 
 
 def render_sorted(
     g: Gaussians, view: Array, proj: Array, config: RenderConfig,
-    row0: Union[Array, float, None] = None,
-) -> Tuple[Array, Array]:
-    """Depth-sorted front-to-back mode -> (image, alpha).
+    row0: Union[Array, float, None] = None, return_stats: bool = False,
+) -> Tuple[Array, ...]:
+    """Depth-sorted front-to-back mode -> (image, alpha, depth)
+    [+ binner overflow stats when return_stats].
+
+    depth is the alpha-weighted expected camera depth (enables depth
+    supervision in sorted training, fit_multiview_stub.py:299-303).
 
     Differentiable on BOTH paths: the jnp oracle via autodiff, the pallas
     path via a hand-fused backward kernel (ops/pallas/sorted.py
@@ -102,11 +120,13 @@ def render_sorted(
             s, z, config.background_array(), config.height, config.width,
             band_capacity=config.sorted_band_capacity,
             axis=(config.footprint == "axis"),
+            return_stats=return_stats,
         )
-    return jnp_renderer.composite_sorted(
+    out = jnp_renderer.composite_sorted(
         s, z, config.background_array(), config.height, config.width,
         chunk=min(config.chunk_size, 64),
     )
+    return out + (zero_overflow_stats(),) if return_stats else out
 
 
 def render(
@@ -118,9 +138,8 @@ def render(
     """Render a Gaussian set from one camera (or a batched camera via vmap).
 
     Returns image (H,W,3), or (image, alpha, depth) when
-    config.return_aux (depth only defined for mode="accum"; sorted mode
-    returns (image, alpha)). With a batched Camera (V,4,4) all outputs gain
-    a leading V axis.
+    config.return_aux (both modes emit an expected-depth aux). With a
+    batched Camera (V,4,4) all outputs gain a leading V axis.
     """
     if validate:
         validate_gaussians(gaussians)
@@ -128,9 +147,11 @@ def render(
 
     def render_one(view, proj):
         if config.mode == "sorted":
-            image, alpha = render_sorted(gaussians, view, proj, config)
-            return (image, alpha) if config.return_aux else image
-        image, alpha, depth = render_accum(gaussians, view, proj, config)
+            image, alpha, depth = render_sorted(gaussians, view, proj,
+                                                config)
+        else:
+            image, alpha, depth = render_accum(gaussians, view, proj,
+                                               config)
         return (image, alpha, depth) if config.return_aux else image
 
     if camera.batched:

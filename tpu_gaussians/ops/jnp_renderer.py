@@ -103,8 +103,14 @@ def composite_sorted(
     width: int,
     chunk: int = 64,
     alpha_cutoff: float = 1e-5,
-) -> Tuple[Array, Array]:
-    """Depth-sorted front-to-back compositing -> (image (H,W,3), alpha (H,W)).
+) -> Tuple[Array, Array, Array]:
+    """Depth-sorted front-to-back compositing
+    -> (image (H,W,3), alpha (H,W), depth (H,W)).
+
+    depth = sum_i contrib_i * z_abs_i / (alpha + 1e-6) — the sorted-mode
+    expected-depth aux (the accum mode's depth, torch_renderer.py:202-203,
+    re-derived for front-to-back weights), enabling depth supervision in
+    sorted training (fit_multiview_stub.py:299-303 semantics).
 
     Semantics of renderer_cpu.cpp:125-217 and :241-257:
       order: camera-space z descending (larger z = closer, :144-146)
@@ -130,7 +136,10 @@ def composite_sorted(
     )
 
     def block_over(block: SplatInputs) -> Tuple[Array, Array]:
-        """Over-composite one ordered chunk -> (rgb (HW,3), alpha (HW,))."""
+        """Over-composite one ordered chunk -> (rgbd (HW,4), alpha (HW,)).
+
+        rgbd column 3 carries the expected-depth numerator
+        sum_i contrib_i * z_abs_i (feats column COL_D)."""
         a = _chunk_weights(block, gx, gy)             # (C, HW)
         a = jnp.clip(a, 0.0, 1.0)
         a = jnp.where(a < alpha_cutoff, 0.0, a)
@@ -141,25 +150,29 @@ def composite_sorted(
             [jnp.ones((1, hw), a.dtype), jnp.cumprod(one_minus, axis=0)[:-1]], axis=0
         )
         contrib = t_before * a                         # (C, HW)
-        rgb = jnp.dot(
-            contrib.T, block.feats[:, :3],
+        feats = jnp.concatenate(
+            [block.feats[:, :3], block.feats[:, 4:5]], axis=1)
+        rgbd = jnp.dot(
+            contrib.T, feats,
             preferred_element_type=jnp.float32, precision="highest",
-        )                                              # (HW, 3)
+        )                                              # (HW, 4)
         alpha = jnp.sum(contrib, axis=0)               # (HW,)
-        return rgb, alpha
+        return rgbd, alpha
 
     def body(carry, block):
-        rgb_acc, a_acc = carry
-        rgb_b, a_b = block_over(block)
+        rgbd_acc, a_acc = carry
+        rgbd_b, a_b = block_over(block)
         one_minus = (1.0 - a_acc)[:, None]
-        rgb_acc = rgb_acc + one_minus[:, 0:1] * rgb_b
+        rgbd_acc = rgbd_acc + one_minus[:, 0:1] * rgbd_b
         a_acc = a_acc + (1.0 - a_acc) * a_b
-        return (rgb_acc, a_acc), None
+        return (rgbd_acc, a_acc), None
 
-    rgb0 = jnp.zeros((hw, 3), dtype=jnp.float32)
+    rgbd0 = jnp.zeros((hw, 4), dtype=jnp.float32)
     a0 = jnp.zeros((hw,), dtype=jnp.float32)
-    (rgb, alpha), _ = jax.lax.scan(body, (rgb0, a0), blocks)
+    (rgbd, alpha), _ = jax.lax.scan(body, (rgbd0, a0), blocks)
 
-    image = rgb + (1.0 - alpha)[:, None] * background[None, :]
+    image = rgbd[:, :3] + (1.0 - alpha)[:, None] * background[None, :]
     image = jnp.clip(image, 0.0, 1.0).reshape(height, width, 3)
-    return image, alpha.reshape(height, width)
+    depth = jnp.maximum(rgbd[:, 3] / (alpha + 1e-6), 0.0)
+    return (image, alpha.reshape(height, width),
+            depth.reshape(height, width))

@@ -232,10 +232,14 @@ def _sep_tile_factors(gd, xc, yr, sel_f, sel_r):
     ty = yr - gd[1:2, :]                     # (TH, NBS)
     ey = jnp.exp(-0.5 * gd[4:5, :] * (ty * ty))
     featsop = gd[6:14, :] * gd[5:6, :]       # (8, NBS)
+    # precision="highest" is correctness: default MXU precision rounds
+    # featsop/ey to bf16 (see splat.py _sep_factors).
     featsrep = jnp.dot(sel_f, featsop,
-                       preferred_element_type=jnp.float32)   # (8TH, NBS)
+                       preferred_element_type=jnp.float32,
+                       precision="highest")                  # (8TH, NBS)
     eyrep = jnp.dot(sel_r, ey,
-                    preferred_element_type=jnp.float32)      # (8TH, NBS)
+                    preferred_element_type=jnp.float32,
+                    precision="highest")                     # (8TH, NBS)
     g2 = featsrep * eyrep                    # rows (f, r)
     return tx, ex, ty, ey, featsop, g2
 
@@ -445,9 +449,13 @@ _binned_core.defvjp(_binned_core_fwd, _binned_core_bwd)
 
 def splat_accumulate_binned(
     s: SplatInputs, height: int, width: int, tile_capacity: int = 0,
-    axis: bool = False,
-) -> Array:
-    """Tile-binned drop-in for splat_accumulate -> acc (H*W, FEAT_DIM).
+    axis: bool = False, return_stats: bool = False,
+):
+    """Tile-binned drop-in for splat_accumulate -> acc (H*W, FEAT_DIM)
+    [+ binner overflow stats dict when return_stats — note the binned
+    cutoff is the ultra-conservative W_CULL, so nonzero counters bound
+    the approximation from above; visually-relevant loss starts far
+    later].
 
     Order-independent accumulation over per-tile gaussian lists built
     with the W_CULL extent (parity with the dense kernels). Gradients
@@ -478,7 +486,7 @@ def splat_accumulate_binned(
     chunks_per_tile = tile_capacity // NBS
 
     stop = jax.lax.stop_gradient
-    order, slots, cnt = _bin_pairs_2d(
+    order, slots, cnt, stats = _bin_pairs_2d(
         stop(s.px), stop(s.py), stop(s.sigma_x), stop(s.sigma_y),
         stop(s.op_eff), None,
         tiles_x, tiles_y, tile_capacity, width, height,
@@ -492,4 +500,5 @@ def splat_accumulate_binned(
                        chunks_per_tile, axis)
 
     full = crop_tiled_acc(acc, tiles_y, tiles_x, height, width)
-    return full[..., :FEAT_DIM].reshape(-1, FEAT_DIM)
+    out = full[..., :FEAT_DIM].reshape(-1, FEAT_DIM)
+    return (out, stats) if return_stats else out
