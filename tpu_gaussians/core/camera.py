@@ -59,7 +59,7 @@ def look_at(eye, target, up) -> Array:
 
     trans = jnp.eye(4, dtype=jnp.float32)
     trans = trans.at[:3, 3].set(-eye)
-    return rot @ trans
+    return jnp.matmul(rot, trans, precision="highest")
 
 
 def camera_position_from_view(view: Array) -> Array:
@@ -70,7 +70,8 @@ def camera_position_from_view(view: Array) -> Array:
     """
     rot = view[..., :3, :3]
     t = view[..., :3, 3]
-    return -jnp.einsum("...ji,...j->...i", rot, t)
+    return -jnp.einsum("...ji,...j->...i", rot, t,
+                       precision="highest")
 
 
 def orbit_cameras(

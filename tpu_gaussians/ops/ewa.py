@@ -88,11 +88,15 @@ def ewa_conic(
     s2 = scales * scales                          # (N,3)
     # Sigma3 = R S^2 R^T
     rs = rot * s2[:, None, :]                     # R @ diag(s^2)
-    sigma3 = jnp.einsum("nij,nkj->nik", rs, rot)  # (N,3,3)
+    # precision="highest" on every contraction: TPU default MXU
+    # precision rounds operands to bf16 (~4e-3 rel), which is visible in
+    # conic coefficients and broke compiled parity (round-2 audit).
+    sigma3 = jnp.einsum("nij,nkj->nik", rs, rot,
+                        precision="highest")  # (N,3,3)
 
     # Camera space.
     vrot = view[:3, :3]
-    t = means @ vrot.T + view[:3, 3]              # (N,3)
+    t = jnp.matmul(means, vrot.T, precision="highest") + view[:3, 3]
     tx, ty, tz = t[..., 0], t[..., 1], t[..., 2]
     tz = jnp.where(jnp.abs(tz) < 1e-6, jnp.sign(tz) * 1e-6 + (tz == 0) * 1e-6,
                    tz)
@@ -110,12 +114,16 @@ def ewa_conic(
     j12 = -fy * ty * inv_mz * inv_mz
 
     # M = J V Sigma3 V^T J^T with J = [[j00, 0, j02], [0, j11, j12]].
-    cov_cam = jnp.einsum("ij,njk,lk->nil", vrot, sigma3, vrot)  # (N,3,3)
+    cov_cam = jnp.einsum("ij,njk,lk->nil", vrot, sigma3, vrot,
+                         precision="highest")  # (N,3,3)
     r0 = jnp.stack([j00, jnp.zeros_like(j00), j02], axis=-1)    # (N,3)
     r1 = jnp.stack([jnp.zeros_like(j11), j11, j12], axis=-1)
-    m00 = jnp.einsum("ni,nij,nj->n", r0, cov_cam, r0) + blur
-    m01 = jnp.einsum("ni,nij,nj->n", r0, cov_cam, r1)
-    m11 = jnp.einsum("ni,nij,nj->n", r1, cov_cam, r1) + blur
+    m00 = jnp.einsum("ni,nij,nj->n", r0, cov_cam, r0,
+                     precision="highest") + blur
+    m01 = jnp.einsum("ni,nij,nj->n", r0, cov_cam, r1,
+                     precision="highest")
+    m11 = jnp.einsum("ni,nij,nj->n", r1, cov_cam, r1,
+                     precision="highest") + blur
 
     # f32 overflow guard: gaussians crossing the camera plane blow the
     # Jacobian up (1/tz^2) and det = m00*m11 - m01^2 becomes inf - inf =

@@ -509,10 +509,17 @@ def _sep_factors(gd, xc, yr, sel_f, sel_r):
     ey = jnp.exp(gd[4:5, :] * (ty * ty))
     featsop = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]
     # G rows ordered (f, r): row f*R + r = featsop[f] * ey[r].
+    # precision="highest" is CORRECTNESS here, not accuracy polish: the
+    # selectors are exact 0/1 but the default MXU precision rounds the
+    # OTHER operand (featsop / ey) to bf16 — a ~4e-3 relative error that
+    # showed up as 8e-4 image maxdiff vs the float64 oracle (round-2
+    # compiled-parity audit; jnp path was at 5e-7).
     featsrep = jnp.dot(sel_f, featsop,
-                       preferred_element_type=jnp.float32)   # (8R, nb)
+                       preferred_element_type=jnp.float32,
+                       precision="highest")                  # (8R, nb)
     eyrep = jnp.dot(sel_r, ey,
-                    preferred_element_type=jnp.float32)      # (8R, nb)
+                    preferred_element_type=jnp.float32,
+                    precision="highest")                     # (8R, nb)
     g_mat = featsrep * eyrep
     return tx, ex, ty, ey, featsop, eyrep, featsrep, g_mat
 
