@@ -10,7 +10,15 @@ efficiency summary.
 
 Usage:
   python bench/scaling.py [--virtual 8] [--size 256] [--n 10000]
-        [--views_per_device 2]
+        [--views_per_device 2] [--impl auto|jnp|pallas]
+        [--variant gspmd|shardmap|overlap] [--overlap_chunks 4]
+
+--variant selects the distribution mechanism:
+  gspmd     jit + NamedSharding inputs (XLA derives the all-reduce)
+  shardmap  explicit shard_map + one trailing pmean (barrier allreduce)
+  overlap   shard_map + per-view-chunk pmeans the scheduler can overlap
+            with the remaining backward work (VERDICT r1 item #2;
+            compare step time vs --variant shardmap)
 """
 
 from __future__ import annotations
@@ -32,6 +40,11 @@ def main():
     ap.add_argument("--n", type=int, default=10000)
     ap.add_argument("--views_per_device", type=int, default=2)
     ap.add_argument("--k", type=int, default=10, help="steps per timing scan")
+    ap.add_argument("--impl", default="auto",
+                    choices=["auto", "jnp", "pallas"])
+    ap.add_argument("--variant", default="gspmd",
+                    choices=["gspmd", "shardmap", "overlap"])
+    ap.add_argument("--overlap_chunks", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -53,10 +66,16 @@ def main():
     from tpu_gaussians.models.gaussian_model import init_params
     from tpu_gaussians.parallel.mesh import make_mesh, replicated, view_sharding
 
+    from tpu_gaussians.parallel.sharded import (
+        make_overlapped_train_step,
+        make_shardmap_train_step,
+    )
+
     devices = jax.devices()
     size = args.size
     raw = init_params(jax.random.PRNGKey(0), args.n, args.n, use_sh=True)
-    rc = RenderConfig(width=size, height=size, impl="auto", return_aux=True)
+    rc = RenderConfig(width=size, height=size, impl=args.impl,
+                      return_aux=True)
     lc = LossConfig(silhouette_weight=0.0, depth_weight=0.0)
     tx = make_optimizer(0.02)
 
@@ -77,25 +96,45 @@ def main():
                                      (v, size, size, 3), jnp.float32)
         zeros = jnp.zeros((v, size, size), jnp.float32)
         st = init_state(raw, tx)
-        if n_dev > 1:
-            # GSPMD follows the input shardings: state replicated, views
-            # sharded -> gradient all-reduce over the views axis.
-            mesh = make_mesh(n_dev, 1, devices=devices[:n_dev])
-            cams = cam.Camera(
-                view=jax.device_put(cams.view, view_sharding(mesh, 3)),
-                proj=jax.device_put(cams.proj, view_sharding(mesh, 3)),
-            )
-            targets = jax.device_put(targets, view_sharding(mesh, 4))
-            zeros = jax.device_put(zeros, view_sharding(mesh, 3))
-            st = jax.device_put(st, replicated(mesh))
+        mesh = make_mesh(n_dev, 1, devices=devices[:n_dev])
 
-        _, losses = jf(st, cams, targets, zeros, zeros)
-        float(losses[-1])
+        if args.variant != "gspmd" and n_dev > 1:
+            # Explicit-collective step fns (single jitted step; timed by
+            # looping k times — dispatch overhead is identical across
+            # variants, so the overlap-vs-barrier delta is clean).
+            make = (make_overlapped_train_step
+                    if args.variant == "overlap"
+                    else make_shardmap_train_step)
+            kw = ({"n_chunks": args.overlap_chunks}
+                  if args.variant == "overlap" else {})
+            stepf = make(tx, rc, lc, False, False, mesh, **kw)
+
+            def run():
+                s = st
+                for _ in range(args.k):
+                    s, m = stepf(s, cams, targets, zeros, zeros)
+                return m["loss"]
+        else:
+            if n_dev > 1:
+                # GSPMD follows the input shardings: state replicated,
+                # views sharded -> gradient all-reduce over views.
+                cams = cam.Camera(
+                    view=jax.device_put(cams.view, view_sharding(mesh, 3)),
+                    proj=jax.device_put(cams.proj, view_sharding(mesh, 3)),
+                )
+                targets = jax.device_put(targets, view_sharding(mesh, 4))
+                zeros = jax.device_put(zeros, view_sharding(mesh, 3))
+                st = jax.device_put(st, replicated(mesh))
+
+            def run():
+                _, losses = jf(st, cams, targets, zeros, zeros)
+                return losses[-1]
+
+        float(run())
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            _, losses = jf(st, cams, targets, zeros, zeros)
-            float(losses[-1])
+            float(run())
             best = min(best, time.perf_counter() - t0)
         return best / args.k
 
@@ -109,7 +148,9 @@ def main():
         t = measure(n_dev)
         pix = args.views_per_device * n_dev * size * size / t
         results[n_dev] = pix
-        print(json.dumps({"devices": n_dev, "s_per_step": round(t, 5),
+        print(json.dumps({"devices": n_dev, "impl": args.impl,
+                          "variant": args.variant,
+                          "s_per_step": round(t, 5),
                           "pixels_per_s": round(pix, 1)}), flush=True)
 
     if len(sizes) > 1:

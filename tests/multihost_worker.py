@@ -1,7 +1,10 @@
 """Worker for the multi-host smoke test: one process of a 2-process
 jax.distributed run executing the sharded train step on a global mesh.
 
-Usage: python -m tests.multihost_worker <process_id> <num_processes> <port>
+Usage: python -m tests.multihost_worker <process_id> <num_processes> <port> \
+           [impl] [variant]
+  impl     "jnp" (default) or "pallas" (interpret mode on the CPU devices)
+  variant  "gspmd" (default: jit + NamedSharding) or "shardmap"
 Prints "LOSS <value>" computed over the GLOBAL view batch.
 """
 
@@ -11,6 +14,8 @@ import sys
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    impl = sys.argv[4] if len(sys.argv) > 4 else "jnp"
+    variant = sys.argv[5] if len(sys.argv) > 5 else "gspmd"
     os.environ.pop("JAX_PLATFORMS", None)
 
     import jax
@@ -63,9 +68,15 @@ def main():
     targets = globalize(targets_np, view_sharding(mesh, 4))
     zeros = globalize(zeros_np, view_sharding(mesh, 3))
 
-    rc = RenderConfig(width=W, height=H, impl="jnp", chunk_size=8,
+    rc = RenderConfig(width=W, height=H, impl=impl, chunk_size=8,
                       return_aux=True)
-    step = make_sharded_train_step(tx, rc, LossConfig(), False, False, mesh)
+    if variant == "shardmap":
+        from tpu_gaussians.parallel.sharded import make_shardmap_train_step
+        step = make_shardmap_train_step(tx, rc, LossConfig(), False, False,
+                                        mesh)
+    else:
+        step = make_sharded_train_step(tx, rc, LossConfig(), False, False,
+                                       mesh)
     new_state, metrics = step(state, cams_g, targets, zeros, zeros)
     print(f"LOSS {float(metrics['loss']):.8f}", flush=True)
 

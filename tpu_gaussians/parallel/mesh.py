@@ -62,19 +62,52 @@ def view_sharding(mesh: Mesh, rank: int, row_dim: Optional[int] = None) -> Named
 
 def initialize_distributed(coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None) -> None:
-    """Multi-host bring-up: `jax.distributed.initialize` with optional
-    explicit coordination (no-op when already initialized or single-host
-    with args unset)."""
+                           process_id: Optional[int] = None,
+                           timeout_s: float = 120.0) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` with loud,
+    bounded failure (SURVEY.md §5 failure-detection row; VERDICT round-1
+    weak #5 replaced the silent except here).
+
+    Auto-detection (no args): only attempted when the environment is
+    actually multi-process-configured; an init failure in that case is
+    re-raised with context instead of being swallowed. Explicit
+    coordination: the coordinator handshake runs under
+    `initialization_timeout` so a dead/typo'd coordinator fails in
+    `timeout_s` seconds with a clear message rather than hanging the job.
+    """
+    import os
+
+    already = getattr(
+        getattr(jax.distributed, "global_state", None), "client", None)
+    if already is not None:
+        return  # initialized earlier in this process — idempotent
+
     if coordinator is None and num_processes is None:
-        # Single-process / TPU-pod auto-detection path.
+        auto_env = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                    "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
+        if not any(os.environ.get(k) for k in auto_env):
+            return  # single-process run: nothing to bring up
         try:
-            jax.distributed.initialize()
-        except (RuntimeError, ValueError):
-            pass  # already initialized, or single-process without env config
+            jax.distributed.initialize(
+                initialization_timeout=int(timeout_s))
+        except Exception as e:  # noqa: BLE001 — re-raise with context
+            raise RuntimeError(
+                "multi-host auto-initialization failed although the "
+                f"environment looks multi-process ({[k for k in auto_env if os.environ.get(k)]}); "
+                "refusing to silently degrade to single-host"
+            ) from e
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+            initialization_timeout=int(timeout_s),
+        )
+    except Exception as e:  # noqa: BLE001 — re-raise with context
+        raise RuntimeError(
+            f"jax.distributed.initialize(coordinator={coordinator!r}, "
+            f"num_processes={num_processes}, process_id={process_id}) "
+            f"failed within {timeout_s:.0f}s — check the coordinator "
+            "address/port and that every process was launched"
+        ) from e

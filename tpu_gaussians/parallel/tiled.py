@@ -60,13 +60,12 @@ def render_tiled(
     def render_band(g, view, proj):
         row0 = (jax.lax.axis_index(axis) * band_rows).astype(jnp.float32)
         if config.mode == "sorted":
-            image, alpha = render_sorted(g, view, proj, band_config,
-                                         row0=row0)
-            out = (image, alpha) if config.return_aux else image
+            image, alpha, depth = render_sorted(g, view, proj, band_config,
+                                                row0=row0)
         else:
             image, alpha, depth = render_accum(g, view, proj, band_config,
                                                row0=row0)
-            out = ((image, alpha, depth) if config.return_aux else image)
+        out = (image, alpha, depth) if config.return_aux else image
         return jax.tree.map(lambda a: a[None], out)
 
     # check_vma off: the band render is embarrassingly parallel (no
