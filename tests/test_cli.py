@@ -91,5 +91,24 @@ def test_render_server(fitted_npz):
         import io as _io
         img = np.asarray(Image.open(_io.BytesIO(data)))
         assert img.shape == (48, 64, 3)
+        # The interactive client page (VERDICT r1 item #4).
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=30) as r:
+            assert "text/html" in r.headers["Content-Type"]
+            page = r.read().decode()
+            assert "/render?yaw=" in page and "mousemove" in page
+        # jpg + raw transports with timing headers.
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/render?width=64&height=48"
+                f"&mode=accum&format=jpg", timeout=60) as r:
+            assert r.headers["Content-Type"] == "image/jpeg"
+            assert float(r.headers["X-Render-Ms"]) >= 0.0
+            assert float(r.headers["X-Encode-Ms"]) >= 0.0
+            Image.open(_io.BytesIO(r.read()))
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/render?width=64&height=48"
+                f"&mode=accum&format=raw", timeout=60) as r:
+            raw = r.read()
+            assert len(raw) == 64 * 48 * 4  # RGBA8
     finally:
         server.shutdown()

@@ -1,17 +1,25 @@
 """TPU render server: serve rendered frames of a fitted model over HTTP.
 
 The server half of the split-viewer design (SURVEY.md §2 native-equivalents
-table: the native viewer can display frames streamed from a TPU render
-server). Loads a fitted npz once (device-resident across requests — unlike
-the reference viewer's per-frame H2D upload, renderer.cu:363-366) and
-answers:
+table; the interactive product matching the reference's realtime viewer,
+model_viewer_main.cpp:153-268). Loads a fitted npz once (device-resident
+across requests — unlike the reference viewer's per-frame H2D upload,
+renderer.cu:363-366) and answers:
 
-  GET /render?yaw=0.5&pitch=0.2&radius=2.5&width=640&height=480&mode=sorted
-      -> image/png
+  GET /        -> the interactive mouse-orbit viewer client
+                  (viewer_client.html; reference control scheme)
+  GET /render?yaw=0.5&pitch=0.2&radius=2.5&width=640&height=480
+      &mode=sorted&format=jpg|png|raw
+      -> one frame. format jpg (default for the client; fastest encode),
+         png (lossless), or raw (RGBA bytes, zero encode cost —
+         localhost-grade bandwidth). Response carries X-Render-Ms /
+         X-Encode-Ms timing headers so the client HUD can split device
+         time from transport.
   GET /info  -> application/json model + config summary
 
 Usage:
   python -m tpu_gaussians.cli.serve model.npz --port 8008 [--impl auto]
+then open http://127.0.0.1:8008/ in a browser.
 """
 
 from __future__ import annotations
@@ -87,13 +95,47 @@ class RenderService:
         return np.asarray(img)
 
 
+def encode_frame(img: np.ndarray, fmt: str):
+    """float [0,1] HWC image -> (bytes, content_type) for `fmt`
+    (raw = RGBA8 bytes for a canvas ImageData; jpg/png via PIL)."""
+    u8 = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    if fmt == "raw":
+        rgba = np.concatenate(
+            [u8, np.full(u8.shape[:2] + (1,), 255, np.uint8)], axis=2)
+        return rgba.tobytes(), "application/octet-stream"
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    if fmt == "jpg":
+        Image.fromarray(u8).save(buf, "JPEG", quality=90)
+        return buf.getvalue(), "image/jpeg"
+    Image.fromarray(u8).save(buf, "PNG")
+    return buf.getvalue(), "image/png"
+
+
 def make_handler(service: RenderService):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
 
+        def _send(self, code, body, ctype, extra=()):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in extra:
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             url = urlparse(self.path)
+            if url.path in ("/", "/index.html"):
+                from pathlib import Path
+                html = (Path(__file__).parent / "viewer_client.html")
+                self._send(200, html.read_bytes(),
+                           "text/html; charset=utf-8")
+                return
             if url.path == "/info":
                 body = json.dumps({
                     "num_gaussians": service.n,
@@ -114,29 +156,25 @@ def make_handler(service: RenderService):
             q = parse_qs(url.query)
             get = lambda k, d: float(q.get(k, [d])[0])
             try:
+                import time
+                t0 = time.perf_counter()
                 img = service.render_frame(
                     yaw=get("yaw", 0.0), pitch=get("pitch", 0.2),
                     radius=get("radius", 2.5),
                     width=int(get("width", 640)), height=int(get("height", 480)),
                     mode=q.get("mode", ["sorted"])[0],
                 )
+                t1 = time.perf_counter()
+                body, ctype = encode_frame(
+                    img, q.get("format", ["png"])[0])
+                t2 = time.perf_counter()
             except Exception as e:  # bad params -> 400
-                body = str(e).encode()
-                self.send_response(400)
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._send(400, str(e).encode(), "text/plain")
                 return
-            from PIL import Image
-            buf = io.BytesIO()
-            Image.fromarray(
-                (np.clip(img, 0, 1) * 255).astype(np.uint8)).save(buf, "PNG")
-            body = buf.getvalue()
-            self.send_response(200)
-            self.send_header("Content-Type", "image/png")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            self._send(200, body, ctype, extra=(
+                ("X-Render-Ms", f"{(t1 - t0) * 1e3:.1f}"),
+                ("X-Encode-Ms", f"{(t2 - t1) * 1e3:.1f}"),
+            ))
 
     return Handler
 
