@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--fp", type=str, default="axis",
                     choices=["axis", "ewa"])
     ap.add_argument("--modes", type=str, default="sorted,accum")
+    ap.add_argument("--binned", type=str, default="auto",
+                    choices=["auto", "on", "off"],
+                    help="force the accum path's binned/dense selection "
+                         "(crossover measurement)")
     args = ap.parse_args()
 
     from tpu_gaussians.utils.cache import enable_compilation_cache
@@ -62,12 +66,22 @@ def main():
     from tpu_gaussians.ops.dispatch import render
 
     N = args.n
-    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    # EWA runs get genuinely rotated anisotropic footprints (random unit
+    # quats + 3:1 scale anisotropy) — identity quats would make the conic
+    # near-diagonal and flatter the measurement.
+    quats = None
+    scales = jax.random.uniform(ks[1], (N, 3), jnp.float32, 0.005, 0.03)
+    if args.fp == "ewa":
+        quats = jax.random.normal(ks[4], (N, 4), jnp.float32)
+        quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+        scales = scales * jnp.array([3.0, 1.0, 1.0], jnp.float32)
     g = Gaussians(
         means=jax.random.uniform(ks[0], (N, 3), jnp.float32, -1.0, 1.0),
-        scales=jax.random.uniform(ks[1], (N, 3), jnp.float32, 0.005, 0.03),
+        scales=scales,
         colors=jax.random.uniform(ks[2], (N, 3), jnp.float32),
         opacities=jax.random.uniform(ks[3], (N,), jnp.float32, 0.2, 0.9),
+        quats=quats,
     )
 
     for size in [int(x) for x in args.sizes.split(",")]:
@@ -78,7 +92,8 @@ def main():
 
         for mode in args.modes.split(","):
             rc = RenderConfig(width=size, height=size, impl="pallas",
-                              mode=mode, footprint=args.fp)
+                              mode=mode, footprint=args.fp,
+                              accum_binned=args.binned)
 
             def loss(gg):
                 img = render(gg, cam1, rc)
@@ -91,7 +106,9 @@ def main():
                 return l, gr
 
             t = marginal(step, (g,))
-            print(f"N={N} {size}x{size} {mode}/{args.fp}: "
+            tag = ("" if mode != "accum" or args.binned == "auto"
+                   else f"/binned={args.binned}")
+            print(f"N={N} {size}x{size} {mode}/{args.fp}{tag}: "
                   f"fwd+bwd {t*1e3:.1f} ms")
 
 
