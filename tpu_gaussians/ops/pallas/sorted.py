@@ -455,7 +455,12 @@ def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
             return acc + dq[c][:, None] * (
                 cum_hx[c][:, None] <= rank[None, :]).astype(jnp.int32)
 
-        qsel = jax.lax.fori_loop(0, c_chunks - 1, _tele, q0)
+        # unroll=16: each fori_loop iteration is one full HBM pass over
+        # the (T, cap) accumulator (~0.5-8 MB) with trivial compute —
+        # at C-1 = hundreds of chunks the telescope was pure traffic
+        # (e.g. 390 x 8 MB read+write at 100k/512^2). Unrolling fuses 16
+        # chunk updates into each pass, cutting that traffic ~16x.
+        qsel = jax.lax.fori_loop(0, c_chunks - 1, _tele, q0, unroll=16)
     else:
         qsel = q0
     src = rank[None, :] + qsel
