@@ -32,9 +32,10 @@ def marginal(fn, args, k1=2, k2=8, reps=2):
             # leaves[0] (the loss) lets XLA dead-code the entire
             # backward out of a value_and_grad step and silently turns
             # a "fwd+bwd" row into a forward-only row.
-            return sum(jnp.float32(leaf.reshape(-1)[0])
-                       for leaf in jax.tree.leaves(out)
-                       if jnp.issubdtype(leaf.dtype, jnp.floating))
+            return sum((jnp.float32(leaf.reshape(-1)[0])
+                        for leaf in jax.tree.leaves(out)
+                        if jnp.issubdtype(leaf.dtype, jnp.floating)),
+                       jnp.float32(0.0))
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
     jf = jax.jit(multi, static_argnums=0)
 

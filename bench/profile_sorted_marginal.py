@@ -31,9 +31,10 @@ def marginal(fn, args, k1=2, k2=10, reps=2):
             # Consume one element of EVERY float leaf — consuming only
             # leaves[0] lets XLA dead-code everything not feeding it
             # (e.g. the whole backward of a value_and_grad step).
-            return sum(jnp.float32(leaf.reshape(-1)[0])
-                       for leaf in jax.tree.leaves(out)
-                       if jnp.issubdtype(leaf.dtype, jnp.floating))
+            return sum((jnp.float32(leaf.reshape(-1)[0])
+                        for leaf in jax.tree.leaves(out)
+                        if jnp.issubdtype(leaf.dtype, jnp.floating)),
+                       jnp.float32(0.0))
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
     jf = jax.jit(multi, static_argnums=0)
 

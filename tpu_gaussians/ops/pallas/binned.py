@@ -81,9 +81,11 @@ from tpu_gaussians.ops.pallas.splat import (
 # kernels are so cheap that dense wins by 2-3x at 32-65k and binned only
 # takes over at ~131k (re-measured, random-init scene, 512^2/1024^2
 # fwd+bwd); the EWA path keeps the general kernels on both sides, where
-# the crossover is ~20k (round-2 measured @512^2 fwd+bwd, random quats,
-# 3:1 anisotropy: dense 12.0/23.7/47.4 ms vs binned 13.5/16.0/19.0 at
-# 16k/32k/64k — equal ~20k, binned wins decisively above).
+# the crossover is ~20k FORWARD-ONLY (round-2 measured @512^2, random
+# quats, 3:1 anisotropy: dense 12.0/23.7/47.4 ms vs binned
+# 13.5/16.0/19.0 at 16k/32k/64k). The honest fwd+bwd crossover sits
+# higher (binned carries the backward scatter) — re-measured round 3
+# with the DCE-proof harness; see BASELINE.md for the sweep.
 BINNED_MIN_N_AXIS = 98_304
 BINNED_MIN_N = 20_480
 
