@@ -2,13 +2,22 @@
 
 Driver metric (BASELINE.json:2): pixels/s/chip fwd+bwd at 256x256 on the
 flagship config (#2: 1200 Gaussians, SH, orbit camera). Prints ONE JSON
-line: {"metric", "value", "unit", "vs_baseline"}.
+line: {"metric", "value", "unit", "vs_baseline", ...spread fields}.
 
 Measurement method: the full train step (render + loss + backward + Adam)
 is chained on device via lax.scan inside a single jit; per-step cost is
 the marginal time between a K1-step and a K2-step scan, which excludes
 host<->device round-trip latency (the deployment-shaped number — training
 loops keep steps on device).
+
+Round-3 stability fix (VERDICT r2 missing #2 / weak #1): the old
+single-shot K=8-vs-40 marginal was ~9 ms measured as the difference of
+two ~30 ms absolute timings whose shared ~26 ms host round-trip jitters
+by milliseconds — identical code recorded 206/228/386 Mpix/s on
+different runs. Now the marginal spans 200 steps (~60 ms, dwarfing
+round-trip noise), each trial interleaves its K1/K2 timings (drift
+cancels), and the reported value is the MEDIAN of TRIALS marginals with
+min/max spread printed alongside.
 
 vs_baseline divides by the self-measured reference-renderer throughput
 (bench/baseline_measurement.json, from bench/measure_torch_baseline.py —
@@ -18,12 +27,15 @@ the reference publishes no numbers, BASELINE.md).
 from __future__ import annotations
 
 import json
+import statistics
 import time
 from pathlib import Path
 
 SIZE = 256
 N = 1200
-K1, K2 = 8, 40
+K1, K2 = 16, 216
+TRIALS = 5
+REPS = 2
 
 
 def main():
@@ -61,22 +73,28 @@ def main():
                                  (state, jnp.float32(0.0)))
 
     jf = jax.jit(multi)
+    st = init_state(raw, tx)
 
-    def timed(k, reps=2):
-        st = init_state(raw, tx)
+    def timed_once(k):
+        t0 = time.perf_counter()
         _, loss = jf(st, cams, targets, zeros, zeros, k)
-        float(loss)  # warm + sync
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _, loss = jf(st, cams, targets, zeros, zeros, k)
-            float(loss)
-            best = min(best, time.perf_counter() - t0)
-        return best
+        float(loss)  # sync
+        return time.perf_counter() - t0
 
-    t1 = timed(K1)
-    t2 = timed(K2)
-    per_step = max((t2 - t1) / (K2 - K1), 1e-9)
+    # Warm both trip counts (one executable; the first call pays compile).
+    for k in (K1, K2):
+        timed_once(k)
+
+    marginals = []
+    for _ in range(TRIALS):
+        # Interleave K1/K2 within the trial so slow host drift hits both
+        # sides of the difference equally.
+        t1 = min(timed_once(K1) for _ in range(REPS))
+        t2 = min(timed_once(K2) for _ in range(REPS))
+        marginals.append(max((t2 - t1) / (K2 - K1), 1e-9))
+
+    per_step = statistics.median(marginals)
+    pix = [SIZE * SIZE / m for m in marginals]
     pixels_per_s = SIZE * SIZE / per_step
 
     baseline_file = Path(__file__).parent / "bench" / "baseline_measurement.json"
@@ -90,6 +108,10 @@ def main():
         "value": round(pixels_per_s, 1),
         "unit": "pixels/s",
         "vs_baseline": round(vs, 3),
+        "trials": TRIALS,
+        "min": round(min(pix), 1),
+        "max": round(max(pix), 1),
+        "spread_pct": round(100.0 * (max(pix) - min(pix)) / pixels_per_s, 1),
     }))
 
 
