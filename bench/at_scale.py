@@ -63,6 +63,12 @@ def main():
                     choices=["auto", "on", "off"],
                     help="force the accum path's binned/dense selection "
                          "(crossover measurement)")
+    ap.add_argument("--cull", type=str, default="exact",
+                    choices=["exact", "alpha"],
+                    help="binned-accum extent cutoff (alpha = the "
+                         "reference C++ w<1e-5 drop)")
+    ap.add_argument("--cap", type=int, default=0,
+                    help="binned-accum per-tile capacity (0 = auto)")
     args = ap.parse_args()
 
     from tpu_gaussians.utils.cache import enable_compilation_cache
@@ -100,7 +106,9 @@ def main():
         for mode in args.modes.split(","):
             rc = RenderConfig(width=size, height=size, impl="pallas",
                               mode=mode, footprint=args.fp,
-                              accum_binned=args.binned)
+                              accum_binned=args.binned,
+                              accum_cull=args.cull,
+                              accum_tile_capacity=args.cap)
 
             def loss(gg):
                 img = render(gg, cam1, rc)
@@ -115,6 +123,17 @@ def main():
             t = marginal(step, (g,))
             tag = ("" if mode != "accum" or args.binned == "auto"
                    else f"/binned={args.binned}")
+            if mode == "accum" and args.cull != "exact":
+                tag += f"/cull={args.cull}"
+            if mode == "accum" and args.cap:
+                tag += f"/cap={args.cap}"
+            if mode == "accum":
+                from tpu_gaussians.ops.dispatch import render_accum
+                _, _, _, stats = jax.jit(
+                    lambda gg: render_accum(gg, cam1.view, cam1.proj, rc,
+                                            return_stats=True))(g)
+                tag += (f" [dropped={int(stats['dropped_pairs'])} "
+                        f"full_tiles={int(stats['full_tiles'])}]")
             print(f"N={N} {size}x{size} {mode}/{args.fp}{tag}: "
                   f"fwd+bwd {t*1e3:.1f} ms")
 

@@ -79,6 +79,28 @@ def main():
     def f_scatter1(sl):
         return jnp.zeros((n + 1,), jnp.float32).at[sl].add(1.0)
 
+    def f_scatter1v(sl, gg):
+        return jnp.zeros((n + 1,), jnp.float32).at[sl].add(gg[0])
+
+    def f_scatter16x1(sl, gg):
+        # 16 rank-1 scatter-adds straight off the lane-dense (16, S)
+        # layout the kernel emits — exact (no cancellation), no sort,
+        # no row-gather.
+        return jnp.stack(
+            [jnp.zeros((n + 1,), jnp.float32).at[sl].add(gg[r])
+             for r in range(ROWS)], axis=0)
+
+    def f_scatter8c(sl, gg):
+        # Pack row pairs as complex64: c64 add == elementwise f32 adds,
+        # so 8 scatters carry all 16 rows — tests whether per-UPDATE
+        # overhead (not bytes) dominates.
+        outs = []
+        for r in range(0, ROWS, 2):
+            z = jax.lax.complex(gg[r], gg[r + 1])
+            o = jnp.zeros((n + 1,), jnp.complex64).at[sl].add(z)
+            outs.extend([jnp.real(o), jnp.imag(o)])
+        return jnp.stack(outs, axis=0)
+
     def f_sortkv1(sl, it):
         return jax.lax.sort((sl, it), num_keys=1)
 
@@ -110,10 +132,15 @@ def main():
         return jax.ops.segment_sum(gs, sl_s, num_segments=n + 1,
                                    indices_are_sorted=True)
 
-    # Correctness + cancellation check for pipeA/pipeB
+    # Correctness + cancellation check for pipeA/pipeB/scatter16x1
     ref = jax.jit(f_scatter16)(slots, g)
-    for nm, fn in (("pipeA", f_pipeA), ("pipeB", f_pipeB)):
-        out = jax.jit(fn)(slots, g, iota)
+    for nm, fn, a in (("pipeA", f_pipeA, (slots, g, iota)),
+                      ("pipeB", f_pipeB, (slots, g, iota)),
+                      ("scatter16x1", f_scatter16x1, (slots, g16)),
+                      ("scatter8c", f_scatter8c, (slots, g16))):
+        out = jax.jit(fn)(*a)
+        if out.shape[0] == ROWS:
+            out = out.T
         scale = jnp.maximum(jnp.max(jnp.abs(ref)), 1e-30)
         err = float(jnp.max(jnp.abs(out[:n] - ref[:n])) / scale)
         print(f"  {nm} max rel err vs scatter: {err:.3e}")
@@ -123,6 +150,9 @@ def main():
         ("scatter16_sorted", f_scatter16, (slots_sorted, g)),
         ("segsum16_sorted", f_segsum16_sorted, (slots_sorted, g)),
         ("scatter1", f_scatter1, (slots,)),
+        ("scatter1v", f_scatter1v, (slots, g16)),
+        ("scatter16x1", f_scatter16x1, (slots, g16)),
+        ("scatter8c", f_scatter8c, (slots, g16)),
         ("sortkv1", f_sortkv1, (slots, iota)),
         ("sortkv16", f_sortkv16, (slots, g16)),
         ("rowgather_S", f_rowgather, (g, perm)),

@@ -37,6 +37,39 @@ def test_binned_accum_matches_jnp(seed, n):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_binned_accum_alpha_cull_close():
+    """accum_cull="alpha" (the reference C++ w<1e-5 drop at extent level,
+    renderer_cpu.cpp:113) must stay visually identical to the exact
+    path: per-pixel error is bounded by the truncated sub-cutoff tails.
+    Gradients stay finite and close."""
+    g = random_scene(700, seed=3)
+    c = cam.orbit_cameras(1, 96, 64)
+    view, proj = c.view[0], c.proj[0]
+    cb, _ = _configs(96, 64)
+    ca = cb.replace(accum_cull="alpha")
+
+    ie, ae, de = render_accum(g, view, proj, cb)
+    ia, aa, da = render_accum(g, view, proj, ca)
+    np.testing.assert_allclose(np.asarray(ia), np.asarray(ie), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(aa), np.asarray(ae), atol=2e-3)
+
+    def loss(config):
+        def f(gg):
+            img, alpha, _ = render_accum(gg, view, proj, config)
+            return jnp.mean(jnp.abs(img)) + jnp.mean(alpha)
+        return f
+
+    ga = jax.grad(loss(ca))(g)
+    ge = jax.grad(loss(cb))(g)
+    for name in ("means", "scales", "opacities"):
+        a = np.asarray(getattr(ga, name))
+        e = np.asarray(getattr(ge, name))
+        assert np.all(np.isfinite(a)), name
+        scale = max(1e-3, float(np.abs(e).max()))
+        assert np.abs(a - e).max() <= 5e-3 * scale, (
+            f"{name}: {np.abs(a - e).max():.2e} vs {scale:.2e}")
+
+
 def test_binned_accum_grad_matches_jnp():
     g = random_scene(400, seed=5)
     c = cam.orbit_cameras(1, 96, 64)

@@ -119,8 +119,13 @@ def test_sorted_axis_compiled(scene):
 def test_accum_ewa_compiled(scene):
     """EWA footprint through the general (non-separable) kernels —
     compiled parity record for the north star's headline geometry
-    (VERDICT r1 weak #6)."""
+    (VERDICT r1 weak #6), now against the INDEPENDENT float64 EWA
+    oracle too (VERDICT r2 #4: previously a bug in the shared
+    ops/ewa.py conic math would have passed the pallas-vs-jnp check)."""
     g, view, proj = scene
+    rng = np.random.default_rng(5)
+    quats = rng.normal(size=(g.capacity, 4)).astype(np.float32)
+    g = g.replace(quats=jnp.asarray(quats))
     cfg_p = RenderConfig(width=W, height=H, impl="pallas",
                          footprint="ewa")
     cfg_j = RenderConfig(width=W, height=H, impl="jnp", chunk_size=64,
@@ -129,5 +134,10 @@ def test_accum_ewa_compiled(scene):
         lambda gg: render_accum(gg, view, proj, cfg_p)[0])(g))
     img_j = np.asarray(jax.jit(
         lambda gg: render_accum(gg, view, proj, cfg_j)[0])(g))
+    ref, _, _ = np_oracle.render_accum(
+        np.asarray(g.means), np.asarray(g.scales), np.asarray(g.colors),
+        np.asarray(g.opacities), np.asarray(view), np.asarray(proj), W, H,
+        quats=quats)
+    assert np.abs(img_p - ref).max() <= IMG_TOL
     assert np.abs(img_p - img_j).max() <= CROSS_TOL
     _grad_cross_check(g, view, proj, cfg_p, cfg_j, render_accum)

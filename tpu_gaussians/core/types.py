@@ -150,6 +150,21 @@ class RenderConfig:
                                 # tile-binned lists above BINNED_MIN_N
                                 # gaussians, dense band kernels below;
                                 # "on"/"off" force it
+    accum_tile_capacity: int = 0  # binned-accum per-tile list capacity
+                                  # (0 = auto: 8192 exact / 4096 alpha).
+                                  # Slot-array costs (gather + backward
+                                  # scatter) scale with tiles*cap, NOT
+                                  # with real pair counts — overflow
+                                  # counters report what a small cap
+                                  # drops
+    accum_cull: str = "exact"   # binned-accum extent cutoff:
+                                # "exact" = W_CULL (binned == dense to
+                                # float tolerance); "alpha" = the
+                                # reference C++ rasterizer's own w<1e-5
+                                # drop (renderer_cpu.cpp:113) — ~0.6x
+                                # extent radius, ~3x fewer pairs, a
+                                # bounded <=1e-5-per-gaussian
+                                # approximation for at-scale training
     proj_height: int = 0  # full-frame height when rendering a row window
                           # of a taller frame (parallel/tiled.py); 0 =
                           # height (normal full-frame rendering)
@@ -164,6 +179,9 @@ class RenderConfig:
         if self.accum_binned not in ("auto", "on", "off"):
             raise ValueError(
                 f"accum_binned must be auto/on/off, got {self.accum_binned!r}")
+        if self.accum_cull not in ("exact", "alpha"):
+            raise ValueError(
+                f"accum_cull must be exact/alpha, got {self.accum_cull!r}")
         if self.width <= 0 or self.height <= 0:
             raise ValueError("width/height must be positive")
 

@@ -77,6 +77,10 @@ def render_accum(
             acc, stats = pallas_binned.splat_accumulate_binned(
                 s, config.height, config.width, axis=axis,
                 return_stats=True,
+                tile_capacity=config.accum_tile_capacity,
+                cutoff=(pallas_binned.ALPHA_CUTOFF
+                        if config.accum_cull == "alpha"
+                        else pallas_binned.W_CULL),
             )
         else:
             acc = pallas_splat.splat_accumulate(

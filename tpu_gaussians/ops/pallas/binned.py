@@ -56,6 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_gaussians.core.types import Array
 from tpu_gaussians.ops.common import FEAT_DIM, SplatInputs
 from tpu_gaussians.ops.pallas.sorted import (
+    ALPHA_CUTOFF,
     NBS,
     TH,
     TPS,
@@ -63,6 +64,7 @@ from tpu_gaussians.ops.pallas.sorted import (
     _bin_pairs_2d,
     _k_pairs,
     crop_tiled_acc,
+    list_gather_t,
     moment_postpass_t,
     pack_gdataT_prio,
 )
@@ -454,17 +456,22 @@ _binned_core.defvjp(_binned_core_fwd, _binned_core_bwd)
 def splat_accumulate_binned(
     s: SplatInputs, height: int, width: int, tile_capacity: int = 0,
     axis: bool = False, return_stats: bool = False,
+    cutoff: float = W_CULL,
 ):
     """Tile-binned drop-in for splat_accumulate -> acc (H*W, FEAT_DIM)
-    [+ binner overflow stats dict when return_stats — note the binned
-    cutoff is the ultra-conservative W_CULL, so nonzero counters bound
-    the approximation from above; visually-relevant loss starts far
-    later].
+    [+ binner overflow stats dict when return_stats — at the default
+    ultra-conservative W_CULL cutoff, nonzero counters bound the
+    approximation from above; visually-relevant loss starts far later].
 
     Order-independent accumulation over per-tile gaussian lists built
-    with the W_CULL extent (parity with the dense kernels). Gradients
-    flow through the fused binned backward + the list-gather's AD
-    scatter-add; binning itself is non-differentiable selection.
+    with the `cutoff` extent. W_CULL (default) gives parity with the
+    dense kernels to float tolerance. ALPHA_CUTOFF (1e-5) reproduces the
+    reference C++ rasterizer's own per-pixel w<1e-5 drop
+    (renderer_cpu.cpp:113) at the extent level: ~0.6x radius -> ~3x
+    fewer (gaussian, tile) pairs, with per-pixel error bounded by the
+    sub-cutoff tail it truncates. Gradients flow through the fused
+    binned backward + the list-gather's AD scatter-add; binning itself
+    is non-differentiable selection.
 
     axis=True (caller-asserted: conic b == 0) selects the separable
     tile kernels (one MXU matmul per chunk, ~14x fewer exps).
@@ -476,16 +483,20 @@ def splat_accumulate_binned(
 
     k = _k_pairs(n, budget=ACCUM_PAIR_BUDGET, kmin=ACCUM_K_MIN)
     if tile_capacity <= 0:
-        # Default: cap at n (small scenes: lossless) or 8192. Lists are
+        # Default: cap at n (small scenes: lossless) or 8192 (4096 under
+        # the ~0.6x-radius alpha cull — r3 measured: per-tile loads drop
+        # ~3x, and the slot-array costs (gather + backward scatter-add)
+        # scale with tiles*cap NOT with real pairs, so a right-sized cap
+        # is where the alpha cull's win actually lands). Lists are
         # opacity-DESCENDING (zsort=False priority, _bin_pairs_2d), so
-        # overflow keeps each tile's 8192 STRONGEST gaussians — a
-        # training-grade approximation for scenes whose W_CULL extents
-        # stack deeper than that (e.g. random init at high N); trained
-        # scenes' small splats fit losslessly. Gather/backward cost
-        # scales with the cap, so bigger caps trade accuracy for time
-        # (measured: 8192 -> 16384 costs ~1.5-1.9x); raise via
-        # tile_capacity or force accum_binned="off" for exactness.
-        tile_capacity = min(_round_up(n, NBS), max(8192, NBS))
+        # overflow keeps each tile's cap STRONGEST gaussians — a
+        # training-grade approximation for scenes whose extents stack
+        # deeper than that (e.g. random init at high N); trained scenes'
+        # small splats fit losslessly. Raise via tile_capacity or force
+        # accum_binned="off" for exactness; overflow counters report
+        # drops either way.
+        base = 8192 if cutoff <= W_CULL else 4096
+        tile_capacity = min(_round_up(n, NBS), max(base, NBS))
     tile_capacity = _round_up(tile_capacity, NBS)
     chunks_per_tile = tile_capacity // NBS
 
@@ -494,11 +505,13 @@ def splat_accumulate_binned(
         stop(s.px), stop(s.py), stop(s.sigma_x), stop(s.sigma_y),
         stop(s.op_eff), None,
         tiles_x, tiles_y, tile_capacity, width, height,
-        cutoff=W_CULL, zsort=False, k=k)
+        cutoff=cutoff, zsort=False, k=k)
 
     # Row gather fused into the transpose -> ONE dense (GD_ROWS, S)
-    # write (a materialized (S, GD_ROWS) array would tile-pad 8x).
-    gdense_t = pack_gdataT_prio(s, order)[slots].T
+    # write (a materialized (S, GD_ROWS) array would tile-pad 8x). The
+    # gather's plain AD is the backward scatter-add (alternatives
+    # measured worse in-graph: list_gather_t docstring).
+    gdense_t = list_gather_t(pack_gdataT_prio(s, order), slots)
 
     acc = _binned_core(gdense_t, cnt.astype(jnp.int32), tiles_x, n_tiles,
                        chunks_per_tile, axis)

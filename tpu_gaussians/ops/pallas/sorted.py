@@ -480,6 +480,27 @@ def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
     return order, slots, cnt[None, :], stats
 
 
+def list_gather_t(packed: Array, slots: Array) -> Array:
+    """packed (n+1, GD_ROWS) row-gather by slots (S,) + transpose ->
+    lane-dense (GD_ROWS, S) per-slot table. XLA's AD of the gather (an
+    (S, GD_ROWS) row scatter-add) IS the slot->gaussian reduction of the
+    backward.
+
+    Round-3 measured NEGATIVE result (bench/proto_scatter.py +
+    bench/proto_fullchain.py, v5e): in ISOLATION the row scatter prices
+    at 16.5 ms @ S=1M and both 16 rank-1 scatters (9.3) and a
+    sort+cumsum+histogram segment-sum (8.6) look like 2x wins — but IN
+    the real backward graph every alternative LOSES (sorted full chain
+    @512^2: plain 22.5 ms vs rank-1 custom VJP 52.5, 8-row blocks 26.2,
+    segsum pipeline 26.0). XLA fuses the plain scatter with its
+    postpass producers and downstream permutation-AD in ways custom VJPs
+    block, and the rank-1 merge the isolated proto enjoyed does not
+    happen in-graph. Keep the plain AD; do not re-wrap this in a custom
+    VJP without re-running proto_fullchain.
+    """
+    return packed[slots].T
+
+
 def pack_gdataT_prio(s: SplatInputs, order: Array) -> Array:
     """pack_gdataT rows permuted to priority order (row i = gaussian
     order[i]; dead row kept last). One n-row gather, so slot lists can
@@ -577,8 +598,10 @@ def sorted_composite_pallas(
 
     # Row gather fused into the transpose -> ONE lane-dense (GD_ROWS, S)
     # write (a materialized (S, GD_ROWS) array would tile-pad 8x; see
-    # binned.py for the same layout argument).
-    gdense_t = pack_gdataT_prio(s, order)[slots].T        # (16, tiles*cap)
+    # binned.py for the same layout argument). The gather's plain AD is
+    # the backward's slot->gaussian scatter-add (see list_gather_t's
+    # docstring for why alternatives measured WORSE in-graph).
+    gdense_t = list_gather_t(pack_gdataT_prio(s, order), slots)
 
     acc = _sorted_core(gdense_t, cnt.astype(jnp.int32), tiles_x, n_tiles,
                        chunks_per_tile, axis)
