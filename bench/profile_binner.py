@@ -67,7 +67,7 @@ def main():
             _, order, pxs, pys, sxs, sys_, ops = jax.lax.sort(
                 (prio, jnp.arange(n, dtype=jnp.int32),
                  px, py, si.sigma_x, si.sigma_y, si.op_eff), num_keys=1)
-            tx_lo, ty_lo, kx_c, ky_c, count = srt._tile_rects(
+            tx_lo, ty_lo, kx_c, ky_c, count, _clip = srt._tile_rects(
                 pxs, pys, sxs, sys_, ops,
                 tiles_x, tiles_y, k, W, H)
             if stage == "perm+rects":

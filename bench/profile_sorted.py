@@ -92,20 +92,11 @@ def main():
         tiles_x, tiles_y, cap, W, H))(s, z)
     jax.block_until_ready((slots, cnt))
 
-    def f_gd(si, sl):
-        feats_p = jnp.pad(si.feats,
-                          ((0, 0), (0, srt.FEAT_PAD - si.feats.shape[1])))
-        cols = [si.px, si.py, si.conic_a, si.conic_b, si.conic_c, si.op_eff]
-        cols += [feats_p[:, f] for f in range(srt.FEAT_PAD)]
-        cols += [jnp.zeros_like(si.px)] * (srt.GD_ROWS - len(cols))
-        gdataT = jnp.stack(cols, axis=1)
-        dead = jnp.zeros((1, srt.GD_ROWS), jnp.float32)
-        dead = dead.at[0, 2].set(1.0).at[0, 4].set(1.0)
-        gdataT = jnp.concatenate([gdataT, dead], axis=0)
-        return gdataT[sl]
-    results["gdense_build"] = timeit(jax.jit(f_gd), (s, slots))
+    def f_gd(si, od, sl):
+        return srt.list_gather_t(srt.pack_gdataT_prio(si, od), sl)
+    results["gdense_build"] = timeit(jax.jit(f_gd), (s, order, slots))
 
-    gdense = jax.jit(f_gd)(s, slots)
+    gdense = jax.jit(f_gd)(s, order, slots)
     jax.block_until_ready(gdense)
 
     import functools
@@ -119,8 +110,8 @@ def main():
             grid=(n_tiles, chunks),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((srt.NBS, srt.GD_ROWS),
-                             lambda i, j: (i * chunks + j, 0),
+                pl.BlockSpec((srt.GD_ROWS, srt.NBS),
+                             lambda i, j: (0, i * chunks + j),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((srt.FEAT_PAD, srt.TPS),

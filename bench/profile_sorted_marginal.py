@@ -100,7 +100,7 @@ def main():
     n_tiles = tiles_x * tiles_y
 
     def f_rects(si, zz):
-        tx_lo, ty_lo, kx_c, ky_c, count = srt._tile_rects(
+        tx_lo, ty_lo, kx_c, ky_c, count, _clip = srt._tile_rects(
             si.px, si.py, si.sigma_x, si.sigma_y, si.op_eff,
             tiles_x, tiles_y, k, W, H)
         return (tx_lo + ty_lo + kx_c + ky_c + count).astype(jnp.float32)
