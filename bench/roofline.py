@@ -190,7 +190,8 @@ def main():
     nb, wp, hp, n_bands = sp._sep_dims(N_F, H, W)
     lo, cnt_b, gdata = jax.jit(
         lambda s_: sp._sep_prep(s_.px, s_.py, s_.conic_a, s_.conic_b,
-                                s_.conic_c, s_.op_eff, s_.feats, H, W))(s)
+                                s_.conic_c, s_.op_eff, s_.feats,
+                                H, W)[:3])(s)
     blocks = int(jax.device_get(cnt_b).sum())
     br = sp.FEAT_PAD * sp.SEP_ROWS
     mxu_f = blocks * (2 * br * 8 * nb * 2 + 2 * br * nb * wp)

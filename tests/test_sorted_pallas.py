@@ -33,6 +33,24 @@ def test_sorted_pallas_matches_oracle(n, seed):
     np.testing.assert_allclose(np.asarray(alpha), ref_alpha, atol=5e-4)
 
 
+def test_viewer_preset_knobs_plumb_and_stay_exact_when_slack():
+    """The interactive-viewer forward knobs (sorted_pair_k /
+    sorted_exit_t / sorted_band_capacity) must plumb through dispatch;
+    on a small scene where the budgets are slack and nothing reaches
+    the early-exit threshold they change NOTHING."""
+    g = random_scene(80, seed=9)
+    c = orbit_camera(W, H, index=1)
+    base = RenderConfig(width=W, height=H, impl="pallas", mode="sorted",
+                        return_aux=True)
+    knobs = base.replace(sorted_pair_k=8, sorted_exit_t=1e-3,
+                         sorted_band_capacity=512)
+    out_b = render(g, c, base)
+    out_k = render(g, c, knobs)
+    for a, b in zip(out_k, out_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_sorted_pallas_matches_jnp():
     g = random_scene(150, seed=5, use_sh=True)
     c = orbit_camera(W, H, index=2)

@@ -41,13 +41,21 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--port", type=int, default=8008)
     ap.add_argument("--impl", choices=["auto", "jnp", "pallas"], default="auto")
     ap.add_argument("--fovy", type=float, default=60.0)
+    ap.add_argument("--preset", choices=["quality", "interactive"],
+                    default="interactive",
+                    help="interactive: sorted-path forward-quality knobs "
+                         "(pair budget 8, early-exit 1e-3, tile cap 1024 "
+                         "— visually lossless, 1.5x FPS at 1M gaussians, "
+                         "r3 measured 64 dB vs the quality preset); "
+                         "quality: exact-default knobs")
     return ap
 
 
 class RenderService:
     """Holds the device-resident model and renders frames on demand."""
 
-    def __init__(self, npz_path: str, impl: str, fovy: float):
+    def __init__(self, npz_path: str, impl: str, fovy: float,
+                 preset: str = "interactive"):
         import jax
 
         from tpu_gaussians.core import camera as cam
@@ -64,6 +72,7 @@ class RenderService:
         self._jax = jax
         self.impl = impl
         self.fovy = fovy
+        self.preset = preset
         self.gaussians = load_gaussians_npz(npz_path)
         self.n = int(self.gaussians.means.shape[0])
         self._jitted = {}
@@ -71,34 +80,59 @@ class RenderService:
     def _fn(self, width: int, height: int, mode: str):
         key = (width, height, mode)
         if key not in self._jitted:
+            knobs = {}
+            if self.preset == "interactive" and mode == "sorted":
+                knobs = dict(sorted_pair_k=8, sorted_exit_t=1e-3,
+                             sorted_band_capacity=1024)
             config = self._RenderConfig(
                 width=width, height=height, mode=mode, impl=self.impl,
-                background=(0.02, 0.02, 0.02),
+                background=(0.02, 0.02, 0.02), **knobs,
             )
+            cam = self._cam
+            jnp = self._jax.numpy
+            fovy, aspect = self.fovy, width / height
 
-            def f(g, view, proj):
-                return self._render(g, self._Camera(view=view, proj=proj),
-                                    config)
+            # Camera math INSIDE the jit (yaw/pitch/radius are traced
+            # scalars): eagerly building look_at/perspective on device
+            # per request costs tens of tiny dispatches x the host<->
+            # device round trip — measured 180-315 ms/frame through the
+            # relay vs 7-21 ms of actual device render time (r3
+            # viewer_e2e). One jitted call = ONE dispatch per frame.
+            def f(g, yaw, pitch, radius):
+                eye = jnp.stack([
+                    radius * jnp.cos(pitch) * jnp.sin(yaw),
+                    radius * jnp.sin(pitch),
+                    radius * jnp.cos(pitch) * jnp.cos(yaw)])
+                view = cam.look_at(eye, jnp.zeros(3),
+                                   jnp.asarray([0.0, 1.0, 0.0]))
+                proj = cam.perspective(fovy, aspect, 0.01, 100.0)
+                img = self._render(g, self._Camera(view=view, proj=proj),
+                                   config)
+                # Quantize ON DEVICE (same formula encode_frame applied
+                # host-side, so bytes are identical): the f32 image is
+                # 4x the u8 one, and the device->host link is the e2e
+                # bottleneck (measured ~50 MB/s through this relay —
+                # 6.2 MB f32 = ~125 ms/frame vs ~40 ms u8 at 960x540).
+                return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
             self._jitted[key] = self._jax.jit(f)
         return self._jitted[key]
 
     def render_frame(self, yaw: float, pitch: float, radius: float,
                      width: int, height: int, mode: str) -> np.ndarray:
-        cam = self._cam
-        eye = [radius * math.cos(pitch) * math.sin(yaw),
-               radius * math.sin(pitch),
-               radius * math.cos(pitch) * math.cos(yaw)]
-        view = cam.look_at(eye, [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
-        proj = cam.perspective(self.fovy, width / height, 0.01, 100.0)
-        img = self._fn(width, height, mode)(self.gaussians, view, proj)
+        # np.float32 scalars trace as 0-d arrays — python floats would
+        # bake in as constants and recompile per camera pose.
+        img = self._fn(width, height, mode)(
+            self.gaussians, np.float32(yaw), np.float32(pitch),
+            np.float32(radius))
         return np.asarray(img)
 
 
 def encode_frame(img: np.ndarray, fmt: str):
-    """float [0,1] HWC image -> (bytes, content_type) for `fmt`
-    (raw = RGBA8 bytes for a canvas ImageData; jpg/png via PIL)."""
-    u8 = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    """HWC image (uint8, or float [0,1]) -> (bytes, content_type) for
+    `fmt` (raw = RGBA8 bytes for a canvas ImageData; jpg/png via PIL)."""
+    u8 = (img if img.dtype == np.uint8
+          else (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8))
     if fmt == "raw":
         rgba = np.concatenate(
             [u8, np.full(u8.shape[:2] + (1,), 255, np.uint8)], axis=2)
@@ -181,7 +215,7 @@ def make_handler(service: RenderService):
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    service = RenderService(args.npz, args.impl, args.fovy)
+    service = RenderService(args.npz, args.impl, args.fovy, args.preset)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service))
     print(f"serving {service.n} gaussians on http://{args.host}:{args.port} "

@@ -146,6 +146,16 @@ class RenderConfig:
     return_aux: bool = False  # also return (alpha, depth)
     sorted_band_capacity: int = 0  # pallas sorted: per-band list capacity
                                    # (0 = auto; overflow drops farthest)
+    sorted_exit_t: float = 0.0  # pallas sorted: whole-tile transmittance
+                                # early-exit threshold (0 = default
+                                # 1e-6). The interactive-viewer preset
+                                # raises it to 1e-3 (below 8-bit
+                                # visibility; r3 measured 64 dB vs
+                                # reference at 1.5x the FPS)
+    sorted_pair_k: int = 0  # pallas sorted: per-gaussian tile budget
+                            # (0 = auto from PAIR_BUDGET; the viewer
+                            # preset uses 8 — 2.2% of true overlaps
+                            # rect-clipped at 1M, r3 measured)
     accum_binned: str = "auto"  # pallas accum kernel choice: "auto" =
                                 # tile-binned lists above BINNED_MIN_N
                                 # gaussians, dense band kernels below;

@@ -125,6 +125,9 @@ def render_sorted(
             band_capacity=config.sorted_band_capacity,
             axis=(config.footprint == "axis"),
             return_stats=return_stats,
+            exit_t=(config.sorted_exit_t if config.sorted_exit_t > 0
+                    else pallas_sorted.EXIT_T),
+            pair_k=config.sorted_pair_k,
         )
     out = jnp_renderer.composite_sorted(
         s, z, config.background_array(), config.height, config.width,

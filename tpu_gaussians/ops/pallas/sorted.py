@@ -162,7 +162,7 @@ def _a_raw_sep(gd, xc, yr):
 
 def _sorted_kernel(cnt_ref, gdense_ref, acc_ref, rgbw_ref, trans_ref,
                    *, tiles_x: int, chunks_per_tile: int,
-                   axis: bool = False):
+                   axis: bool = False, exit_t: float = EXIT_T):
     i = pl.program_id(0)  # tile
     j = pl.program_id(1)  # chunk within tile
 
@@ -171,7 +171,7 @@ def _sorted_kernel(cnt_ref, gdense_ref, acc_ref, rgbw_ref, trans_ref,
         rgbw_ref[:] = jnp.zeros_like(rgbw_ref)
         trans_ref[:] = jnp.ones_like(trans_ref)
 
-    live = jnp.max(trans_ref[:]) > EXIT_T  # early-exit: tile gone opaque
+    live = jnp.max(trans_ref[:]) > exit_t  # early-exit: tile gone opaque
 
     @pl.when((j * NBS < cnt_ref[0, i]) & live)
     def _():
@@ -563,6 +563,7 @@ def sorted_composite_pallas(
     s: SplatInputs, z_cam: Array, background: Array,
     height: int, width: int, band_capacity: int = 0,
     axis: bool = False, return_stats: bool = False,
+    exit_t: float = EXIT_T, pair_k: int = 0,
 ):
     """Depth-sorted render -> (image (H,W,3), alpha (H,W), depth (H,W))
     [+ binner overflow stats dict when return_stats].
@@ -570,7 +571,14 @@ def sorted_composite_pallas(
     depth is free: feats row 4 already carries z_abs through the kernel's
     (8, TP) feature matmul, so acc row 4 is sum_i contrib_i * z_abs_i; the
     resolve divides by (alpha + 1e-6) like the accum aux. Differentiable —
-    the fused backward already routes all 8 feature-row cotangents."""
+    the fused backward already routes all 8 feature-row cotangents.
+
+    exit_t / pair_k / band_capacity are the forward-quality knobs the
+    interactive viewer preset tunes (r3 measured at 1M/960x540, PSNR vs
+    a K=12/cap=8192/exit=1e-6 reference render: defaults 31.5 FPS at
+    103 dB; K=8 + exit 1e-3 + cap 1024 gives 47.8 FPS at 64 dB — below
+    8-bit quantization noise, i.e. visually lossless). Training keeps
+    the defaults."""
     n = s.px.shape[0]
     tiles_x = _round_up(width, TWC) // TWC
     tiles_y = _round_up(height, TH) // TH
@@ -594,7 +602,7 @@ def sorted_composite_pallas(
     order, slots, cnt, stats = _bin_pairs_2d(
         stop(s.px), stop(s.py), stop(s.sigma_x), stop(s.sigma_y),
         stop(s.op_eff), stop(z_cam),
-        tiles_x, tiles_y, band_capacity, width, height)
+        tiles_x, tiles_y, band_capacity, width, height, k=pair_k)
 
     # Row gather fused into the transpose -> ONE lane-dense (GD_ROWS, S)
     # write (a materialized (S, GD_ROWS) array would tile-pad 8x; see
@@ -604,7 +612,7 @@ def sorted_composite_pallas(
     gdense_t = list_gather_t(pack_gdataT_prio(s, order), slots)
 
     acc = _sorted_core(gdense_t, cnt.astype(jnp.int32), tiles_x, n_tiles,
-                       chunks_per_tile, axis)
+                       chunks_per_tile, axis, exit_t)
 
     full = crop_tiled_acc(acc, tiles_y, tiles_x, height, width)
     rgb = full[..., :3]
@@ -616,10 +624,12 @@ def sorted_composite_pallas(
 
 
 def _sorted_fwd_call(gdense, cnt, tiles_x: int, n_tiles: int,
-                     chunks_per_tile: int, axis: bool = False) -> Array:
+                     chunks_per_tile: int, axis: bool = False,
+                     exit_t: float = EXIT_T) -> Array:
     return pl.pallas_call(
         functools.partial(_sorted_kernel, tiles_x=tiles_x,
-                          chunks_per_tile=chunks_per_tile, axis=axis),
+                          chunks_per_tile=chunks_per_tile, axis=axis,
+                          exit_t=exit_t),
         grid=(n_tiles, chunks_per_tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # cnt
@@ -646,7 +656,7 @@ def _sorted_fwd_call(gdense, cnt, tiles_x: int, n_tiles: int,
 def _sorted_bwd_kernel(cnt_ref, gdense_ref, acc_ref, g8_ref, out_ref,
                        trans_ref, u_ref, ctg_ref,
                        *, tiles_x: int, chunks_per_tile: int,
-                       axis: bool = False):
+                       axis: bool = False, exit_t: float = EXIT_T):
     """Fused backward of the sorted compositing kernel (SURVEY.md hard
     part #1 for the depth-sorted path; the BASELINE north star's
     "hand-fused backward ... per tile").
@@ -676,7 +686,7 @@ def _sorted_bwd_kernel(cnt_ref, gdense_ref, acc_ref, g8_ref, out_ref,
 
     out_ref[:] = jnp.zeros_like(out_ref)
 
-    live = jnp.max(trans_ref[:]) > EXIT_T
+    live = jnp.max(trans_ref[:]) > exit_t
 
     @pl.when((j * NBS < cnt_ref[0, i]) & live)
     def _():
@@ -759,11 +769,13 @@ def _sorted_bwd_kernel(cnt_ref, gdense_ref, acc_ref, g8_ref, out_ref,
 
 
 def _sorted_bwd_call(gdense_t, cnt, acc, g8, tiles_x: int, n_tiles: int,
-                     chunks_per_tile: int, axis: bool = False) -> Array:
+                     chunks_per_tile: int, axis: bool = False,
+                     exit_t: float = EXIT_T) -> Array:
     cols = gdense_t.shape[1]
     return pl.pallas_call(
         functools.partial(_sorted_bwd_kernel, tiles_x=tiles_x,
-                          chunks_per_tile=chunks_per_tile, axis=axis),
+                          chunks_per_tile=chunks_per_tile, axis=axis,
+                          exit_t=exit_t),
         grid=(n_tiles, chunks_per_tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # cnt
@@ -792,9 +804,9 @@ def _sorted_bwd_call(gdense_t, cnt, acc, g8, tiles_x: int, n_tiles: int,
     )(cnt, gdense_t, acc, g8)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _sorted_core(gdense_t, cnt, tiles_x, n_tiles, chunks_per_tile,
-                 axis=False):
+                 axis=False, exit_t=EXIT_T):
     """acc (FEAT_PAD, n_tiles*TPS) from TRANSPOSED dense per-tile lists
     (GD_ROWS, tiles*cap); row 3 of the output is 1 - T_final (== sum of
     contribs, exactly in real arithmetic). Differentiable in gdense_t via
@@ -802,22 +814,23 @@ def _sorted_core(gdense_t, cnt, tiles_x, n_tiles, chunks_per_tile,
     alphas from separable factors ((TWC+TH) exps per gaussian instead of
     TPS)."""
     return _sorted_fwd_call(gdense_t, cnt, tiles_x, n_tiles,
-                            chunks_per_tile, axis)
+                            chunks_per_tile, axis, exit_t)
 
 
 def _sorted_core_fwd(gdense_t, cnt, tiles_x, n_tiles, chunks_per_tile,
-                     axis):
+                     axis, exit_t):
     acc = _sorted_fwd_call(gdense_t, cnt, tiles_x, n_tiles,
-                           chunks_per_tile, axis)
+                           chunks_per_tile, axis, exit_t)
     return acc, (gdense_t, cnt, acc)
 
 
-def _sorted_core_bwd(tiles_x, n_tiles, chunks_per_tile, axis, res, g_acc):
+def _sorted_core_bwd(tiles_x, n_tiles, chunks_per_tile, axis, exit_t,
+                     res, g_acc):
     import numpy as np
 
     gdense_t, cnt, acc = res
     raw_t = _sorted_bwd_call(gdense_t, cnt, acc, g_acc, tiles_x, n_tiles,
-                             chunks_per_tile, axis)
+                             chunks_per_tile, axis, exit_t)
     g_cnt = np.zeros(cnt.shape, jax.dtypes.float0)
     return moment_postpass_t(gdense_t, raw_t), g_cnt
 
