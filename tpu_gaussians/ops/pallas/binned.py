@@ -76,20 +76,26 @@ from tpu_gaussians.ops.pallas.splat import (
     _round_up,
 )
 
-# Below this many gaussians the dense band kernels win (the binner +
-# slot gather + scatter-add cost ~20 ms fixed at 512^2, while the dense
-# kernels scale linearly); above it, binned lists win and keep winning.
-# The crossover depends on the footprint: the AXIS path's separable band
-# kernels are so cheap that dense wins by 2-3x at 32-65k and binned only
-# takes over at ~131k (re-measured, random-init scene, 512^2/1024^2
-# fwd+bwd); the EWA path keeps the general kernels on both sides, where
-# the crossover is ~20k FORWARD-ONLY (round-2 measured @512^2, random
-# quats, 3:1 anisotropy: dense 12.0/23.7/47.4 ms vs binned
-# 13.5/16.0/19.0 at 16k/32k/64k). The honest fwd+bwd crossover sits
-# higher (binned carries the backward scatter) — re-measured round 3
-# with the DCE-proof harness; see BASELINE.md for the sweep.
-BINNED_MIN_N_AXIS = 98_304
-BINNED_MIN_N = 20_480
+# Below this many gaussians the dense kernels win; above it, binned
+# lists win. Constants set by the round-3 DCE-proof fwd+bwd sweep
+# (bench/sweep_crossover.sh, 512^2, random-init scene; BASELINE.md r3):
+#
+# AXIS (separable band kernels): dense wins EVERYWHERE previously
+# thought binned — 49k: 10.2 vs 32.2 ms, 98k: 20.6 vs 35.0, 131k: 27.8
+# vs 49.2, 262k: 59.4 vs 62.0 (and dense is exact while binned drops
+# pairs at cap) — slopes cross ~290k. At 1024^2 the dense advantage is
+# LARGER (100k: dense 67.5 vs binned-exact 132.7), so the 512^2-derived
+# threshold errs toward the exact dense path on big frames. The old
+# 98_304 threshold dated from a DCE-contaminated measurement and picked
+# a 2x-slower path at 100k/1024^2.
+#
+# EWA (general conic kernels both sides): the honest fwd+bwd crossover
+# sits LOWER than the forward-only ~20k cut, not higher as round 2
+# hypothesized — the dense EWA backward is even more expensive than
+# binned's scatter: 8k: dense 21.0 vs 27.3, 12k: 31.8 vs 28.8 (cross
+# ~10k), 16k: 41.4 vs 30.8, 65k: 166.4 vs 56.6.
+BINNED_MIN_N_AXIS = 294_912
+BINNED_MIN_N = 10_240
 
 
 def binned_min_n(axis: bool) -> int:
