@@ -475,7 +475,15 @@ def _bwd_call_v2(lo, cnt, gdata, g8, hw_pad: int, width: int,
 # Output rows / post-pass are shared with the v2 kernels. The EWA
 # footprint (b != 0) keeps the general v2/v1 kernels.
 
-SEP_ROWS = 8  # image rows per band (f32 sublane quantum)
+SEP_ROWS = 16  # image rows per band. 8 (the f32 sublane quantum) caps
+               # the G matrix at FEAT_PAD*8 = 64 rows — HALF the MXU's
+               # 128-row systolic height, a hard 50% utilization ceiling
+               # on the dominant matmul. 16 fills the array: flagship
+               # step 0.339 -> 0.279 ms (193 -> 235 Mpix/s), dense accum
+               # @100k 21.5 -> 18.0 ms @512² / 67.0 -> 52.8 @1024², at
+               # bit-identical pallas-vs-jnp parity (r3 measured,
+               # bench/proto_seprows.py; 32 gave only +4% more with
+               # coarser y-culling and 2-pass matmuls — not taken).
 
 
 def _sep_dims(n: int, height: int, width: int) -> Tuple[int, int, int, int]:
