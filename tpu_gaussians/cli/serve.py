@@ -27,7 +27,6 @@ from __future__ import annotations
 import argparse
 import io
 import json
-import math
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -174,6 +173,7 @@ def make_handler(service: RenderService):
                 body = json.dumps({
                     "num_gaussians": service.n,
                     "impl": service.impl,
+                    "preset": service.preset,
                     "sh": service.gaussians.sh is not None,
                     "quats": service.gaussians.quats is not None,
                 }).encode()
@@ -208,6 +208,10 @@ def make_handler(service: RenderService):
             self._send(200, body, ctype, extra=(
                 ("X-Render-Ms", f"{(t1 - t0) * 1e3:.1f}"),
                 ("X-Encode-Ms", f"{(t2 - t1) * 1e3:.1f}"),
+                # Quality mode is observable per-frame: the interactive
+                # preset is an approximation (measured 61-64 dB, i.e.
+                # below 8-bit noise, but scene-dependent).
+                ("X-Preset", service.preset),
             ))
 
     return Handler

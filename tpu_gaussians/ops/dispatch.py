@@ -34,6 +34,22 @@ def _resolve_impl(impl: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "jnp"
 
 
+_warned: set = set()
+
+
+def _warn_ignored(knobs: str, path: str) -> None:
+    """One-time trace-time warning when a path-specific RenderConfig knob
+    is set on a path that ignores it (e.g. accum_cull='alpha' at small n
+    auto-selects the dense kernels and renders exact) — so benchmarking a
+    knob never silently measures the un-knobbed path."""
+    msg = f"RenderConfig {knobs} ignored on the {path} path"
+    if msg not in _warned:
+        _warned.add(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+
+
 def zero_overflow_stats() -> dict:
     """The no-binner stats dict (dense kernels / jnp oracle are exact)."""
     return {"dropped_pairs": jnp.zeros((), jnp.int32),
@@ -83,10 +99,15 @@ def render_accum(
                         else pallas_binned.W_CULL),
             )
         else:
+            if config.accum_cull != "exact" or config.accum_tile_capacity:
+                _warn_ignored("accum_cull/accum_tile_capacity",
+                              f"dense pallas (n={n} < binned_min_n)")
             acc = pallas_splat.splat_accumulate(
                 s, config.height, config.width, axis=axis,
             )
     else:
+        if config.accum_cull != "exact" or config.accum_tile_capacity:
+            _warn_ignored("accum_cull/accum_tile_capacity", "jnp accum")
         acc = jnp_renderer.accumulate_jnp(
             s, config.height, config.width, chunk=config.chunk_size
         )
@@ -129,6 +150,10 @@ def render_sorted(
                     else pallas_sorted.EXIT_T),
             pair_k=config.sorted_pair_k,
         )
+    if (config.sorted_pair_k or config.sorted_band_capacity
+            or config.sorted_exit_t):
+        _warn_ignored("sorted_pair_k/exit_t/band_capacity",
+                      "jnp sorted (exact)")
     out = jnp_renderer.composite_sorted(
         s, z, config.background_array(), config.height, config.width,
         chunk=min(config.chunk_size, 64),

@@ -501,7 +501,11 @@ def splat_accumulate_binned(
         # small splats fit losslessly. Raise via tile_capacity or force
         # accum_binned="off" for exactness; overflow counters report
         # drops either way.
-        base = 8192 if cutoff <= W_CULL else 4096
+        # Keyed on the aggressive end explicitly: only a cutoff at least
+        # as strong as the reference's alpha drop (1e-5) earns the
+        # smaller cap — a custom cutoff between W_CULL and ALPHA_CUTOFF
+        # culls far less and keeps the exact-grade 8192.
+        base = 4096 if cutoff >= ALPHA_CUTOFF else 8192
         tile_capacity = min(_round_up(n, NBS), max(base, NBS))
     tile_capacity = _round_up(tile_capacity, NBS)
     chunks_per_tile = tile_capacity // NBS
