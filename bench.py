@@ -95,7 +95,35 @@ def main():
 
     per_step = statistics.median(marginals)
     pix = [SIZE * SIZE / m for m in marginals]
-    pixels_per_s = SIZE * SIZE / per_step
+    wall_pixels_per_s = SIZE * SIZE / per_step
+
+    # Profiler-derived DEVICE time per step (r3 VERDICT missing #2): the
+    # wall marginal above is host-state-sensitive — identical code read
+    # ~194 Mpix/s in one session and ~236 in another. The trace timeline
+    # records what the chip executed, immune to relay dispatch latency
+    # and host hiccups; a K1-vs-K2 device marginal also cancels the
+    # per-call prolog. This is the headline value; wall numbers are kept
+    # alongside so host contamination stays visible (device ~= wall in a
+    # healthy session).
+    from tpu_gaussians.utils.profiling import device_program_times_us
+    device_per_step_us = None
+    try:
+        def both():
+            for k in (K1, K2):
+                _, loss = jf(st, cams, targets, zeros, zeros, k)
+                float(loss)
+        durs = device_program_times_us(both)
+        if len(durs) >= 2:
+            device_per_step_us = (durs[-1] - durs[0]) / (K2 - K1)
+    except Exception:
+        pass
+
+    if device_per_step_us and device_per_step_us > 0:
+        pixels_per_s = SIZE * SIZE / (device_per_step_us * 1e-6)
+        method = "device_trace_marginal"
+    else:
+        pixels_per_s = wall_pixels_per_s
+        method = "wall_marginal"
 
     baseline_file = Path(__file__).parent / "bench" / "baseline_measurement.json"
     vs = 0.0
@@ -108,10 +136,15 @@ def main():
         "value": round(pixels_per_s, 1),
         "unit": "pixels/s",
         "vs_baseline": round(vs, 3),
+        "method": method,
+        "device_us_per_step": (round(device_per_step_us, 1)
+                               if device_per_step_us else None),
+        "wall_value": round(wall_pixels_per_s, 1),
         "trials": TRIALS,
-        "min": round(min(pix), 1),
-        "max": round(max(pix), 1),
-        "spread_pct": round(100.0 * (max(pix) - min(pix)) / pixels_per_s, 1),
+        "wall_min": round(min(pix), 1),
+        "wall_max": round(max(pix), 1),
+        "wall_spread_pct": round(
+            100.0 * (max(pix) - min(pix)) / wall_pixels_per_s, 1),
     }))
 
 

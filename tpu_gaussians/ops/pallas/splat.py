@@ -60,6 +60,61 @@ GRAD_COLS = 16  # bwd per-gaussian outputs: [g_px, g_py, g_a, g_b, g_c,
 # accumulators, so culling preserves allclose parity with the dense oracle.
 W_CULL = 1e-14
 
+# MXU precision for the PAIR matmuls (the O(N*W) contractions whose
+# operands are real data — NOT the exact broadcast row expansions):
+#   "b3"      manual 3-product bf16x3, ~2^-16 relative error, 3 MXU
+#             passes. The TPU deployment default: r4 measured flagship
+#             step 199.8 -> 149.7 us at image deltas 2.8e-6 / grad rel
+#             deltas <= 4.7e-5 vs the float64 oracle — 2x inside every
+#             compiled-parity gate (bench/measure_compiled_parity.py),
+#             and fit-quality A/B identical (BASELINE.md r4).
+#   "highest" 6 bf16 passes (f32-exact products) — the parity-oracle
+#             mode, and the default off-TPU (interpret-mode tests).
+#   "default" 1 bf16 pass (~4e-3 — measurement-only, fails parity).
+# Mosaic rejects lax.Precision.HIGH, hence the hand-rolled b3 split.
+import os as _os
+MM_PRECISION = _os.environ.get("TPUGS_MM_PRECISION", "")
+
+
+@functools.lru_cache(maxsize=None)
+def _mm_precision() -> str:
+    if MM_PRECISION:
+        return MM_PRECISION
+    return "b3" if jax.default_backend() == "tpu" else "highest"
+
+
+def _dot_pair(a, b, dimension_numbers, exact=False):
+    """dot_general at _mm_precision() for the big pair contractions.
+
+    b3: A = A_hi + A_lo (bf16 split, |A_lo| <= 2^-9|A|); the three
+    products hi*hi + hi*lo + lo*hi bound the error by the dropped
+    lo*lo ~ 2^-16 relative — the same scheme XLA's HIGH precision runs,
+    which Mosaic does not expose. MXU takes bf16 operands natively with
+    f32 accumulation, so each product is one pass.
+
+    exact=True pins "highest" unless the env knob forces otherwise: the
+    GENERAL (v1/v2) kernels keep f32-exact products because their
+    backward moments amplify the b3 error through band-scale dx/dy
+    factors — the EWA means-grad delta measured 1.5e-4 under b3, past
+    the 1e-4 compiled gate, where the separable axis kernels measured
+    3.2e-5 (2x inside it)."""
+    prec = "highest" if (exact and not MM_PRECISION) else _mm_precision()
+    if prec != "b3":
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=dimension_numbers,
+            preferred_element_type=jnp.float32, precision=prec)
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=dimension_numbers,
+            preferred_element_type=jnp.float32)
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
 
 def _sigma_y_from_conic(a, b, c) -> Array:
     """Effective y stddev of the conic footprint: Sigma_yy of the inverse,
@@ -154,9 +209,9 @@ def _fwd_kernel(mask_ref, px_ref, py_ref, ca_ref, cb_ref, cc_ref, op_ref,
                     + cc_ref[:] * dy * dy)
         w = op_ref[:] * jnp.exp(e)
 
-        acc_ref[:] += jnp.dot(
+        acc_ref[:] += _dot_pair(
             featsT_ref[:], w,
-            preferred_element_type=jnp.float32, precision="highest",
+            dimension_numbers=(((1,), (0,)), ((), ())), exact=True,
         )
 
 
@@ -331,9 +386,9 @@ def _fwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, acc_ref, *, width: int,
         featsop = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]  # (8, NB2)
         # acc[f, p] += sum_i featsop[f, i] * x[p, i] — (8, TP) keeps the
         # accumulator lane-dense (a (TP, 8) tile would pad lanes 16x).
-        acc_ref[:] += jax.lax.dot_general(
+        acc_ref[:] += _dot_pair(
             featsop, x, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision="highest",
+            exact=True,
         )
         return carry
 
@@ -389,16 +444,16 @@ def _bwd_kernel_v2(lo_ref, cnt_ref, gdata_ref, g8_ref, out_ref,
         g_acc = g8_ref[:]                          # (FEAT_PAD, TP)
         # g_x[p, i] = sum_f g_acc[f, p] * featsop[f, i]  == w*g_w/x of the
         # un-folded formulation, so g_e = x * g_x is unchanged.
-        g_x = jax.lax.dot_general(
+        g_x = _dot_pair(
             g_acc, featsop, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision="highest",
+            exact=True,
         )                                          # (TP, NB2)
         # g_featop[f, i] = sum_p g_acc[f, p] * x[p, i]; the O(N)
         # post-pass recovers g_feat = op * g_featop and
         # g_op = sum_f feats[f] * g_featop[f].
-        g_featop = jnp.dot(
-            g_acc, x,
-            preferred_element_type=jnp.float32, precision="highest",
+        g_featop = _dot_pair(
+            g_acc, x, dimension_numbers=(((1,), (0,)), ((), ())),
+            exact=True,
         )                                          # (FEAT_PAD, NB2)
 
         # Moments of g_e via the u/v factoring (u = g_e*dx, v = g_e*dy):
@@ -493,41 +548,29 @@ def _sep_dims(n: int, height: int, width: int) -> Tuple[int, int, int, int]:
     return nb, wp, hp, hp // SEP_ROWS
 
 
-def _sep_group_selectors():
-    """Constant 0/1 selectors over the G row axis (l = f*R + r):
-    sel_f[l, f'] = [l//R == f'], sel_r[l, r'] = [l%R == r']."""
-    lanes = jax.lax.broadcasted_iota(
-        jnp.int32, (FEAT_PAD * SEP_ROWS, 1), 0)
-    sel_f = (lanes // SEP_ROWS == jax.lax.broadcasted_iota(
-        jnp.int32, (1, FEAT_PAD), 1)).astype(jnp.float32)
-    sel_r = (lanes % SEP_ROWS == jax.lax.broadcasted_iota(
-        jnp.int32, (1, SEP_ROWS), 1)).astype(jnp.float32)
-    return sel_f, sel_r
-
-
-def _sep_factors(gd, xc, yr, sel_f, sel_r):
+def _sep_factors(gd, xc, yr):
     """Per-block factor matrices from a packed gdata slice.
 
-    G is built with two group-expansion matmuls (sel @ X) rather than
-    per-f slice loops: the kernels are op-issue bound at these shapes, so
-    fewer, larger ops win."""
+    G rows ordered (f, r): row f*R + r = featsop[f] * ey[r]. The row
+    expansions are EXACT broadcast-reshapes on the sublane axis (zero
+    arithmetic). Earlier versions built them with 0/1-selector matmuls,
+    which forced precision="highest" for correctness (the default MXU
+    precision rounds the non-selector operand to bf16, a ~4e-3 error
+    seen as 8e-4 image maxdiff in the round-2 compiled-parity audit) —
+    the broadcast form removes both the matmuls and the precision
+    coupling."""
+    nb = gd.shape[1]
     tx = xc - gd[0:1, :]                           # (Wp, nb)
     ex = jnp.exp(gd[2:3, :] * (tx * tx))
     ty = yr - gd[1:2, :]                           # (R, nb)
     ey = jnp.exp(gd[4:5, :] * (ty * ty))
     featsop = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]
-    # G rows ordered (f, r): row f*R + r = featsop[f] * ey[r].
-    # precision="highest" is CORRECTNESS here, not accuracy polish: the
-    # selectors are exact 0/1 but the default MXU precision rounds the
-    # OTHER operand (featsop / ey) to bf16 — a ~4e-3 relative error that
-    # showed up as 8e-4 image maxdiff vs the float64 oracle (round-2
-    # compiled-parity audit; jnp path was at 5e-7).
-    featsrep = jnp.dot(sel_f, featsop,
-                       preferred_element_type=jnp.float32,
-                       precision="highest")                  # (8R, nb)
-    eyrep = jnp.dot(sel_r, ey,
-                    preferred_element_type=jnp.float32,
-                    precision="highest")                     # (8R, nb)
+    featsrep = jnp.broadcast_to(
+        featsop[:, None, :], (FEAT_PAD, SEP_ROWS, nb)
+    ).reshape(FEAT_PAD * SEP_ROWS, nb)             # row l -> featsop[l//R]
+    eyrep = jnp.broadcast_to(
+        ey[None, :, :], (FEAT_PAD, SEP_ROWS, nb)
+    ).reshape(FEAT_PAD * SEP_ROWS, nb)             # row l -> ey[l%R]
     g_mat = featsrep * eyrep
     return tx, ex, ty, ey, featsop, eyrep, featsrep, g_mat
 
@@ -544,7 +587,6 @@ def _fwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, acc_ref, *, wp: int,
                     nb: int):
     i = pl.program_id(0)  # band of SEP_ROWS image rows
     xc, yr = _sep_coords(i, wp)
-    sel_f, sel_r = _sep_group_selectors()
     acc_ref[:] = jnp.zeros_like(acc_ref)
     lo = lo_ref[0, i]
     cnt = cnt_ref[0, i]
@@ -552,11 +594,10 @@ def _fwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, acc_ref, *, wp: int,
     def body(k, carry):
         b = pl.multiple_of((lo + k) * nb, nb)
         gd = gdata_ref[:, pl.ds(b, nb)]
-        _, ex, _, _, _, _, _, g_mat = _sep_factors(gd, xc, yr, sel_f, sel_r)
+        _, ex, _, _, _, _, _, g_mat = _sep_factors(gd, xc, yr)
         # acc[(f,r), c] += sum_i G[(f,r), i] * Ex[c, i]
-        acc_ref[:] += jax.lax.dot_general(
+        acc_ref[:] += _dot_pair(
             g_mat, ex, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision="highest",
         )                                          # (8*R, Wp)
         return carry
 
@@ -595,7 +636,6 @@ def _bwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, gband_ref, out_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     xc, yr = _sep_coords(i, wp)
-    sel_f, sel_r = _sep_group_selectors()
     lo = lo_ref[0, i]
     cnt = cnt_ref[0, i]
 
@@ -603,18 +643,16 @@ def _bwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, gband_ref, out_ref,
         b = pl.multiple_of((lo + k) * nb, nb)
         gd = gdata_ref[:, pl.ds(b, nb)]
         tx, ex, ty, ey, featsop, eyrep, featsrep, g_mat = _sep_factors(
-            gd, xc, yr, sel_f, sel_r)
+            gd, xc, yr)
         gb = gband_ref[:]                          # (8*R, Wp), rows (f, r)
 
         # gG[(f,r), i] = sum_c gband[(f,r), c] * Ex[c, i]
-        g_g = jax.lax.dot_general(
+        g_g = _dot_pair(
             gb, ex, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision="highest",
         )                                          # (8*R, nb)
         # gEx[c, i] = sum_{f,r} gband[(f,r), c] * G[(f,r), i]
-        g_ex = jax.lax.dot_general(
+        g_ex = _dot_pair(
             gb, g_mat, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision="highest",
         )                                          # (Wp, nb)
 
         # g_featop[f] = sum_r gG[(f,r)] * Ey[r];  gEy[r] = sum_f
@@ -724,11 +762,13 @@ def _bwd_kernel(mask_ref, px_ref, py_ref, ca_ref, cb_ref, cc_ref, op_ref,
         w = op_ref[:] * exp_e
 
         # g_w[i,p] = sum_f feats[i,f] * g_acc[f,p]
-        g_w = jnp.dot(feats_ref[:], g8_ref[:],
-                      preferred_element_type=jnp.float32, precision="highest")
+        g_w = _dot_pair(feats_ref[:], g8_ref[:],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        exact=True)
         # g_feat[i,f] = sum_p w[i,p] * g_acc[f,p]
-        g_feat = jnp.dot(w, gT_ref[:],
-                         preferred_element_type=jnp.float32, precision="highest")
+        g_feat = _dot_pair(w, gT_ref[:],
+                           dimension_numbers=(((1,), (0,)), ((), ())),
+                           exact=True)
 
         g_e = w * g_w
         g_op = jnp.sum(exp_e * g_w, axis=1, keepdims=True)        # (NB, 1)
@@ -959,6 +999,25 @@ def _splat_bwd(height, width, axis, residuals, g):
 _splat.defvjp(_splat_fwd, _splat_bwd)
 
 
+SORT_MM_MAX = 2048  # permutation-as-matmul cutover: the O(n^2) rank
+                    # comparisons cost ~n^2*3 VPU ops (~1.5 us at 1200,
+                    # ~12 us at 4096) vs a flat ~6 us lax.sort — the
+                    # crossover sits near 2k
+
+
+def _perm_matrix_by_y(py: Array) -> Array:
+    """Exact one-hot permutation matrix R of the stable ascending y-sort:
+    R[j, p] = 1 iff element j lands at sorted position p (ties broken by
+    index, matching jnp.argsort's stability)."""
+    n = py.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    lt = py[:, None] < py[None, :]          # lt[i, j]: py_i before py_j
+    eq = py[:, None] == py[None, :]
+    tie = idx[:, None] < idx[None, :]
+    rank = jnp.sum(lt | (eq & tie), axis=0, dtype=jnp.int32)   # (n,)
+    return (rank[:, None] == idx[None, :]).astype(jnp.float32)
+
+
 def splat_accumulate(s: SplatInputs, height: int, width: int,
                      sort: bool = True, axis: bool = False) -> Array:
     """Drop-in Pallas replacement for jnp_renderer.accumulate_jnp.
@@ -973,8 +1032,8 @@ def splat_accumulate(s: SplatInputs, height: int, width: int,
     selects the rank-1 separable kernels (one MXU matmul per gaussian
     block, (W+R)*NB exps instead of W*R*NB).
     """
-    if sort and s.px.shape[0] > 512:
-        order = jnp.argsort(s.py)
+    n = s.px.shape[0]
+    if sort and n > 512:
         # ONE packed lane-dense permute instead of per-leaf gathers: the
         # 13 separate (n,) gathers + their AD scatters cost ~8 us of
         # fixed overhead EACH on this runtime (~115 us/step at bench
@@ -984,7 +1043,25 @@ def splat_accumulate(s: SplatInputs, height: int, width: int,
             [s.px, s.py, s.conic_a, s.conic_b, s.conic_c,
              s.sigma_x, s.sigma_y, s.op_eff]
             + [s.feats[:, f] for f in range(s.feats.shape[1])], axis=0)
-        ps = jnp.take(cols, order, axis=1)
+        if n <= SORT_MM_MAX:
+            # Small n: the sort IS a permutation matrix. Rank each
+            # gaussian by O(n^2) VPU comparisons (stable: index
+            # tiebreak), build the exact 0/1 matrix R[j, rank_j] = 1,
+            # and apply the permutation as an MXU matmul. AD of
+            # cols @ R is g @ R^T — ANOTHER matmul, so the whole
+            # sort+gather+scatter chain (measured 6.3 + 3.0 + 11.0 us
+            # at bench scale; sort.33 / fusion.153 / fusion.158 in the
+            # r4 step trace) becomes ~3 us of rank + two permute
+            # matmuls. precision="highest" is exactness: one-hot rows
+            # make each output a single product, and 6-pass products
+            # are f32-exact (b3/default would round cols to bf16).
+            r_mat = _perm_matrix_by_y(jax.lax.stop_gradient(s.py))
+            ps = jax.lax.dot_general(
+                cols, r_mat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision="highest")
+        else:
+            order = jnp.argsort(s.py)
+            ps = jnp.take(cols, order, axis=1)
         s = SplatInputs(
             px=ps[0], py=ps[1], conic_a=ps[2], conic_b=ps[3],
             conic_c=ps[4], sigma_x=ps[5], sigma_y=ps[6], op_eff=ps[7],
