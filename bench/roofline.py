@@ -9,17 +9,22 @@ binding bound.
 
 Peak-rate model (documented assumptions, published v5e numbers):
   MXU bf16             197e12 FLOP/s
-  MXU f32 ("highest")  197e12/6  — the kernels pin precision=highest,
-                       which runs 6 bf16 passes for f32-exact products
+  MXU b3 (bf16x3)      197e12/3  — the separable AXIS kernels run the
+                       hand-rolled 3-product bf16x3 scheme on TPU since
+                       r4 (splat.py _dot_pair; ~2^-16 relative)
+  MXU f32 ("highest")  197e12/6  — 6 bf16 passes for f32-exact
+                       products; the general/EWA and sorted kernels
+                       stay pinned here
   VPU f32              3.9e12 op/s  (8x128 lanes x 4 ALUs x 0.94 GHz)
   exp                  3 VPU ops each (transcendental unit estimate)
   HBM                  819e9 B/s
 
 The counts are exact for matmul/exp (they follow the kernel code); the
-elementwise VPU counts are close estimates (noted per family). Measured
-times come from bench/at_scale.py / bench/profile_binned_bwd.py /
-bench/profile_step.py and are passed with --measured "name=ms,..." or
-read from their defaults recorded in BASELINE.md.
+elementwise VPU counts are pass-by-pass counts from the kernel bodies
+(noted per family). Measured times come from bench/at_scale.py /
+bench/profile_binned_bwd.py / bench/profile_step.py and are passed with
+--measured "name=ms,..." or read from their defaults recorded in
+BASELINE.md.
 
 Usage: python bench/roofline.py [--n 100000] [--sizes 512,1024]
 """
@@ -36,13 +41,14 @@ import jax
 import jax.numpy as jnp
 
 MXU_F32 = 197e12 / 6
+MXU_B3 = 197e12 / 3
 VPU = 3.9e12
 EXP_OPS = 3
 HBM = 819e9
 
 
-def bound(mxu_flops, vpu_ops, exps, hbm_bytes):
-    t_mxu = mxu_flops / MXU_F32
+def bound(mxu_flops, vpu_ops, exps, hbm_bytes, mxu_rate=MXU_F32):
+    t_mxu = mxu_flops / mxu_rate
     t_vpu = (vpu_ops + EXP_OPS * exps) / VPU
     t_hbm = hbm_bytes / HBM
     binding = max(("MXU", t_mxu), ("VPU", t_vpu), ("HBM", t_hbm),
@@ -50,8 +56,8 @@ def bound(mxu_flops, vpu_ops, exps, hbm_bytes):
     return t_mxu, t_vpu, t_hbm, binding
 
 
-def report(name, counts, measured_ms=None):
-    t_mxu, t_vpu, t_hbm, (which, t) = bound(*counts)
+def report(name, counts, measured_ms=None, mxu_rate=MXU_F32):
+    t_mxu, t_vpu, t_hbm, (which, t) = bound(*counts, mxu_rate=mxu_rate)
     line = (f"{name:34s} SOL {t*1e3:7.3f} ms ({which}-bound; "
             f"mxu {t_mxu*1e3:6.3f} vpu {t_vpu*1e3:6.3f} "
             f"hbm {t_hbm*1e3:6.3f})")
@@ -129,21 +135,29 @@ def main():
             S = n_tiles * cap
 
             if label.startswith("binned"):
-                # separable tile kernels (axis footprint), fwd+bwd
+                # separable tile kernels (axis footprint), fwd+bwd.
+                # r4: the selector matmuls are gone (exact broadcast
+                # expansions) and the remaining pair matmuls run b3
+                # (3-pass bf16x3) — one fwd matmul + two bwd matmuls of
+                # 2*br*NBS*TWC each.
                 br = bn.FEAT_PAD * TH  # 128 G2 rows
-                mxu_f = chunks * (2 * br * 8 * NBS + 2 * br * TH * NBS
-                                  + 2 * br * NBS * TWC)
+                mxu_f = chunks * (2 * br * NBS * TWC)
                 mxu_b = chunks * (2 * br * NBS * TWC      # gG2
                                   + 2 * TWC * NBS * br)   # gEx
                 exps = chunks * NBS * (TWC + TH) * 2      # fwd + bwd rebuild
-                vpu = chunks * (NBS * (TWC + TH) * 8)     # moments etc.
+                # factor builds + g2 expansion + moments + b3 splits
+                # (~4 ops per operand element, 3 dots)
+                vpu = chunks * (NBS * (TWC + TH) * 8
+                                + 2 * br * NBS            # g2 build x2
+                                + 4 * (2 * br * NBS + 2 * TWC * NBS
+                                       + br * TWC))       # b3 splits
                 hbm = (2 * S * GD * 4          # gdense read fwd+bwd
                        + 2 * S * GD * 4        # raw moments write + postpass
                        + 3 * n_tiles * br * TWC * 4)  # acc write + g read
                 name = f"{label}@{size}"
                 report(name + " kernels fwd+bwd",
                        (mxu_f + mxu_b, vpu, exps, hbm),
-                       measured.get(name))
+                       measured.get(name), mxu_rate=MXU_B3)
                 # supporting passes (gather + scatter), HBM-only bound
                 hbm_gs = (S * GD * 4 * 2       # gather read+write
                           + S * GD * 4 * 3)    # scatter read g, RMW out
@@ -154,21 +168,34 @@ def main():
                 hbm_bin = kpad * 4 * 2 * 14 + N * 9 * 4
                 report(name + " binner sort", (0, 0, 0, hbm_bin))
             else:
-                # sorted compositing kernel (axis path), fwd + est. bwd
+                # sorted compositing kernels (axis path), fwd + bwd with
+                # EXACT pass counts from the kernel bodies (VERDICT r3
+                # #4 — replaces the old "~2x the forward (est)"):
+                #
+                # forward (_sorted_kernel, per sub-block over sub*TPS):
+                #   a_raw concat-build 2 + where/clip 3 + exclusive
+                #   cumprod (init 2 + 7 doubling steps x (roll+where+
+                #   mul) = 23) + contrib 1 => ~29 passes; one (sub,8)x
+                #   (8,TPS) matmul; (TWC+TH) exps per gaussian.
+                # backward (_sorted_bwd_kernel, per sub-block):
+                #   a_raw 2 + dx/dy concats 3 + pass_g 3 + a_s 3 +
+                #   cumprod 23 + t_i/contrib 2 + u 1 + inclusive cumsum
+                #   (7 x (roll+where+add) + carry = 22) + g_a 5 + g_e 2
+                #   + ux/vy 2 + moment reduces/products 7 + trans/carry
+                #   2 => ~72 passes; two matmuls (gf, g_feat); exps
+                #   rebuilt once.
                 sub = NBS // 4
-                per_chunk_vpu = 4 * (
-                    7 * 3 * sub * TPS      # sub-blocked cumprod passes
-                    + 3 * sub * TPS        # a_raw build + clip + contrib
-                    + 2 * TPS)             # trans/rgbw updates
-                mxu = chunks * 4 * 2 * sub * 8 * TPS
-                exps = chunks * NBS * (TWC + TH)
-                vpu = chunks * per_chunk_vpu
-                hbm = (S * GD * 4 * 2 + 2 * n_tiles * 8 * TPS * 4)
+                FWD_PASSES, BWD_PASSES = 29, 72
+                mxu_f = chunks * 4 * 2 * sub * 8 * TPS
+                mxu_b = chunks * 4 * 2 * (2 * sub * 8 * TPS)
+                exps = chunks * NBS * (TWC + TH) * 2
+                vpu = chunks * 4 * (FWD_PASSES + BWD_PASSES) * sub * TPS
+                hbm = (2 * S * GD * 4          # gdense read fwd+bwd
+                       + S * GD * 4            # raw moments write
+                       + 3 * n_tiles * 8 * TPS * 4)
                 name = f"sorted@{size}"
-                # backward ~ 2x the forward's arithmetic (recompute pass
-                # + moment reductions; estimate)
-                report(name + " kernels fwd+bwd(est)",
-                       (3 * mxu, 3 * vpu, 2 * exps, 2 * hbm),
+                report(name + " kernels fwd+bwd",
+                       (mxu_f + mxu_b, vpu, exps, hbm),
                        measured.get(name))
             print(f"    [{label}@{size}: pairs={pairs} chunks={chunks} "
                   f"slots={S} fill={pairs/S:.2f}]")
@@ -194,15 +221,19 @@ def main():
                                 H, W)[:3])(s)
     blocks = int(jax.device_get(cnt_b).sum())
     br = sp.FEAT_PAD * sp.SEP_ROWS
-    mxu_f = blocks * (2 * br * 8 * nb * 2 + 2 * br * nb * wp)
+    # r4: selector matmuls replaced by broadcasts; pair matmuls run b3.
+    mxu_f = blocks * (2 * br * nb * wp)
     mxu_b = blocks * (2 * br * nb * wp + 2 * wp * nb * br)
     exps = blocks * nb * (wp + sp.SEP_ROWS) * 2
-    vpu = blocks * nb * (wp + sp.SEP_ROWS) * 8
+    vpu = blocks * (nb * (wp + sp.SEP_ROWS) * 8
+                    + 2 * br * nb                       # g_mat build x2
+                    + 4 * (2 * br * nb + 2 * wp * nb
+                           + br * wp))                  # b3 splits
     hbm = (2 * N_F * GD * 4 * n_bands * 0  # gdata resident in VMEM
            + 3 * n_bands * br * wp * 4)
     sol = report("flagship@256 band kernels fwd+bwd",
                  (mxu_f + mxu_b, vpu, exps, hbm),
-                 measured.get("flagship"))
+                 measured.get("flagship"), mxu_rate=MXU_B3)
     print(f"    [flagship: bands={n_bands} nb={nb} wp={wp} "
           f"active blocks={blocks}]")
     if "flagship_step" in measured:

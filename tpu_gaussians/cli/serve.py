@@ -47,6 +47,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "— visually lossless, 1.5x FPS at 1M gaussians, "
                          "r3 measured 64 dB vs the quality preset); "
                          "quality: exact-default knobs")
+    ap.add_argument("--loop", type=int, default=0, metavar="FRAMES",
+                    help="measure instead of serve: run FRAMES sustained "
+                         "render+fetch+encode cycles server-side (no "
+                         "HTTP, depth-2 pipeline so the device overlaps "
+                         "the host fetch/encode), print a JSON timing "
+                         "split incl. a profiler-derived device ms/frame "
+                         "and the co-located FPS bound, then exit")
+    ap.add_argument("--loop-width", type=int, default=960)
+    ap.add_argument("--loop-height", type=int, default=540)
+    ap.add_argument("--loop-mode", default="sorted")
+    ap.add_argument("--loop-format", default="jpg",
+                    choices=["jpg", "png", "raw"])
     return ap
 
 
@@ -217,9 +229,96 @@ def make_handler(service: RenderService):
     return Handler
 
 
+def run_loop(service: RenderService, frames: int, width: int, height: int,
+             mode: str, fmt: str) -> None:
+    """Sustained server-side render loop — the measured stand-in for the
+    'co-located viewer' projection (VERDICT r3 weak #6): no HTTP, a
+    depth-2 pipeline (issue frame i+1 before fetching frame i) so the
+    chip renders while the host fetches + encodes, and a profiler pass
+    that reads the DEVICE time per frame off the trace (wall clocks here
+    see the relay's ~26 ms dispatch, which a co-located host does not).
+
+    Prints one JSON line: sustained fps through this host, the
+    dispatch/fetch/encode wall split, device ms/frame, and the implied
+    co-located bound 1/(max(device, encode)) for a pipelined server."""
+    import time
+
+    import numpy as np
+
+    fn = service._fn(width, height, mode)
+    g = service.gaussians
+
+    def issue(i):
+        return fn(g, np.float32(0.013 * i), np.float32(0.2),
+                  np.float32(2.5))
+
+    np.asarray(issue(0))  # compile + warm
+
+    t0 = time.perf_counter()
+    dispatch_s = fetch_s = encode_s = 0.0
+    pending = []
+    for i in range(frames):
+        td = time.perf_counter()
+        pending.append(issue(i))
+        dispatch_s += time.perf_counter() - td
+        if len(pending) > 1:
+            tf = time.perf_counter()
+            host = np.asarray(pending.pop(0))
+            te = time.perf_counter()
+            encode_frame(host, fmt)
+            tq = time.perf_counter()
+            fetch_s += te - tf
+            encode_s += tq - te
+    while pending:
+        tf = time.perf_counter()
+        host = np.asarray(pending.pop(0))
+        te = time.perf_counter()
+        encode_frame(host, fmt)
+        tq = time.perf_counter()
+        fetch_s += te - tf
+        encode_s += tq - te
+    total_s = time.perf_counter() - t0
+
+    # Device time per frame off the profiler trace (a short re-run).
+    from tpu_gaussians.utils.profiling import device_program_times_us
+    device_ms = None
+    try:
+        k = min(frames, 20)
+        durs = device_program_times_us(
+            lambda: [np.asarray(issue(1000 + i)) for i in range(k)])
+        if durs:
+            durs = sorted(durs)
+            device_ms = durs[len(durs) // 2] / 1e3  # median frame
+    except Exception:
+        pass
+
+    encode_ms = 1e3 * encode_s / frames
+    out = {
+        "frames": frames, "width": width, "height": height,
+        "mode": mode, "format": fmt, "preset": service.preset,
+        "n_gaussians": service.n,
+        "sustained_fps_this_host": round(frames / total_s, 1),
+        "dispatch_ms_per_frame": round(1e3 * dispatch_s / frames, 2),
+        "fetch_ms_per_frame": round(1e3 * fetch_s / frames, 2),
+        "encode_ms_per_frame": round(encode_ms, 2),
+        "device_ms_per_frame": (round(device_ms, 2)
+                                if device_ms is not None else None),
+        # Pipelined co-located server: device and host-encode overlap;
+        # u8 fetch over PCIe (>=10 GB/s) is <1 ms at these sizes.
+        "colocated_fps_bound": (round(
+            1e3 / max(device_ms, encode_ms), 1)
+            if device_ms is not None else None),
+    }
+    print(json.dumps(out))
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     service = RenderService(args.npz, args.impl, args.fovy, args.preset)
+    if args.loop:
+        run_loop(service, args.loop, args.loop_width, args.loop_height,
+                 args.loop_mode, args.loop_format)
+        return
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service))
     print(f"serving {service.n} gaussians on http://{args.host}:{args.port} "

@@ -86,9 +86,19 @@ def render_accum(
 
         n = s.px.shape[0]
         axis = config.footprint == "axis"
+        if axis:
+            # r4: the axis dense-sep kernels beat binned at every n
+            # that fits VMEM (BASELINE.md r4 sweep: 100k/1024^2 dense
+            # 26.2 vs binned 63.5 ms; 300k: 97.4 vs 210.7) — the
+            # crossover IS the sep path's VMEM capacity.
+            auto_binned = not pallas_splat._sep_fits(
+                pallas_splat._round_up(n, pallas_splat.NB2),
+                pallas_splat._round_up(config.width, 128),
+                backward=True)
+        else:
+            auto_binned = n >= pallas_binned.binned_min_n(False)
         use_binned = (config.accum_binned == "on"
-                      or (config.accum_binned == "auto"
-                          and n >= pallas_binned.binned_min_n(axis)))
+                      or (config.accum_binned == "auto" and auto_binned))
         if use_binned:
             acc, stats = pallas_binned.splat_accumulate_binned(
                 s, config.height, config.width, axis=axis,

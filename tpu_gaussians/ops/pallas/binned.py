@@ -72,29 +72,31 @@ from tpu_gaussians.ops.pallas.splat import (
     FEAT_PAD,
     GD_ROWS,
     W_CULL,
+    _dot_pair,
     _interpret,
     _round_up,
 )
 
 # Below this many gaussians the dense kernels win; above it, binned
-# lists win. Constants set by the round-3 DCE-proof fwd+bwd sweep
-# (bench/sweep_crossover.sh, 512^2, random-init scene; BASELINE.md r3):
+# lists win.
 #
-# AXIS (separable band kernels): dense wins EVERYWHERE previously
-# thought binned — 49k: 10.2 vs 32.2 ms, 98k: 20.6 vs 35.0, 131k: 27.8
-# vs 49.2, 262k: 59.4 vs 62.0 (and dense is exact while binned drops
-# pairs at cap) — slopes cross ~290k. At 1024^2 the dense advantage is
-# LARGER (100k: dense 67.5 vs binned-exact 132.7), so the 512^2-derived
-# threshold errs toward the exact dense path on big frames. The old
-# 98_304 threshold dated from a DCE-contaminated measurement and picked
-# a 2x-slower path at 100k/1024^2.
+# AXIS (separable band kernels): after the r4 kernel work (broadcast
+# selectors + bf16x3 pair matmuls) the dense-sep path wins at EVERY n
+# that fits VMEM — r4 measured 100k/1024^2: dense-exact 26.2 ms vs
+# binned-alpha 63.5; 300k/1024^2: 97.4 vs 210.7 (binned additionally
+# dropping 705k pairs at cap). The crossover is therefore NOT a
+# gaussian-count constant but the sep path's VMEM capacity —
+# splat._sep_fits — and dispatch.py asks that directly; BINNED_MIN_N_AXIS
+# survives only as the fallback answer for callers without a frame size
+# (the r3 512^2 sweep value would now be stale anyway).
 #
 # EWA (general conic kernels both sides): the honest fwd+bwd crossover
 # sits LOWER than the forward-only ~20k cut, not higher as round 2
 # hypothesized — the dense EWA backward is even more expensive than
 # binned's scatter: 8k: dense 21.0 vs 27.3, 12k: 31.8 vs 28.8 (cross
-# ~10k), 16k: 41.4 vs 30.8, 65k: 166.4 vs 56.6.
-BINNED_MIN_N_AXIS = 294_912
+# ~10k), 16k: 41.4 vs 30.8, 65k: 166.4 vs 56.6 (512^2, r3 sweep;
+# re-checked at 1024^2 in r4 — see BASELINE.md).
+BINNED_MIN_N_AXIS = 425_984
 BINNED_MIN_N = 10_240
 
 
@@ -147,10 +149,9 @@ def _binned_fwd_kernel(cnt_ref, gdense_ref, acc_ref,
                         + gd[4:5, :] * dy * dy)
             w = gd[5:6, :] * jnp.exp(e)      # no cutoff: parity accum
             feats = gd[6:14, :]              # (8, LSUB)
-            acc = acc + jax.lax.dot_general(
+            acc = acc + _dot_pair(
                 feats, w,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision="highest",
+                dimension_numbers=(((1,), (1,)), ((), ())), exact=True,
             )                                # (8, TPS)
         acc_ref[:] = acc
 
@@ -180,9 +181,9 @@ def _binned_bwd_kernel(cnt_ref, gdense_ref, g8_ref, out_ref,
             feats = gd[6:14, :]              # (8, LSUB)
 
             # g_w[p,i] = sum_f g8[f,p] * feats[f,i]      (MXU)
-            g_w = jax.lax.dot_general(
+            g_w = _dot_pair(
                 g8, feats, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision="highest",
+                exact=True,
             )                                # (TPS, LSUB)
             g_e = w * g_w
             m0 = jnp.sum(g_e, axis=0, keepdims=True)          # (1, LSUB)
@@ -192,9 +193,9 @@ def _binned_bwd_kernel(cnt_ref, gdense_ref, g8_ref, out_ref,
             mxy = jnp.sum(g_e * dxy, axis=0, keepdims=True)
             myy = jnp.sum(g_e * dy2, axis=0, keepdims=True)
             # g_feat[f,i] = sum_p g8[f,p] * w[p,i]        (MXU)
-            g_feat = jnp.dot(
-                g8, w,
-                preferred_element_type=jnp.float32, precision="highest",
+            g_feat = _dot_pair(
+                g8, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                exact=True,
             )                                # (8, LSUB)
             out_ref[:, sb * _LSUB:(sb + 1) * _LSUB] = jnp.concatenate(
                 [mdx, mdy, mxx, mxy, myy, m0, g_feat,
@@ -217,16 +218,6 @@ def _binned_bwd_kernel(cnt_ref, gdense_ref, g8_ref, out_ref,
 # so g_cb = 0 is exact); EWA keeps the general kernels.
 
 
-def _sep_tile_selectors():
-    """0/1 group-expansion selectors over the G2 row axis l = f*TH + r."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (FEAT_PAD * TH, 1), 0)
-    sel_f = (rows // TH == jax.lax.broadcasted_iota(
-        jnp.int32, (1, FEAT_PAD), 1)).astype(jnp.float32)    # (8TH, 8)
-    sel_r = (rows % TH == jax.lax.broadcasted_iota(
-        jnp.int32, (1, TH), 1)).astype(jnp.float32)          # (8TH, TH)
-    return sel_f, sel_r
-
-
 def _sep_tile_coords(i, tiles_x: int):
     ty_t = i // tiles_x
     tx_t = i % tiles_x
@@ -237,21 +228,24 @@ def _sep_tile_coords(i, tiles_x: int):
     return xc, yr
 
 
-def _sep_tile_factors(gd, xc, yr, sel_f, sel_r):
-    """Factor matrices from a transposed gdense chunk (GD_ROWS, NBS)."""
+def _sep_tile_factors(gd, xc, yr):
+    """Factor matrices from a transposed gdense chunk (GD_ROWS, NBS).
+
+    Row expansions are EXACT sublane broadcast-reshapes (the earlier
+    0/1-selector matmuls forced precision="highest" and cost two 6-pass
+    MXU ops per chunk — see splat.py _sep_factors for the r4 numbers)."""
     tx = xc - gd[0:1, :]                     # (TWC, NBS)
     ex = jnp.exp(-0.5 * gd[2:3, :] * (tx * tx))
     ty = yr - gd[1:2, :]                     # (TH, NBS)
     ey = jnp.exp(-0.5 * gd[4:5, :] * (ty * ty))
     featsop = gd[6:14, :] * gd[5:6, :]       # (8, NBS)
-    # precision="highest" is correctness: default MXU precision rounds
-    # featsop/ey to bf16 (see splat.py _sep_factors).
-    featsrep = jnp.dot(sel_f, featsop,
-                       preferred_element_type=jnp.float32,
-                       precision="highest")                  # (8TH, NBS)
-    eyrep = jnp.dot(sel_r, ey,
-                    preferred_element_type=jnp.float32,
-                    precision="highest")                     # (8TH, NBS)
+    nbs = gd.shape[1]
+    featsrep = jnp.broadcast_to(
+        featsop[:, None, :], (FEAT_PAD, TH, nbs)
+    ).reshape(FEAT_PAD * TH, nbs)            # row l -> featsop[l//TH]
+    eyrep = jnp.broadcast_to(
+        ey[None, :, :], (FEAT_PAD, TH, nbs)
+    ).reshape(FEAT_PAD * TH, nbs)            # row l -> ey[l%TH]
     g2 = featsrep * eyrep                    # rows (f, r)
     return tx, ex, ty, ey, featsop, g2
 
@@ -268,12 +262,10 @@ def _binned_fwd_kernel_sep(cnt_ref, gdense_ref, acc_ref,
     @pl.when(j * NBS < cnt_ref[0, i])
     def _():
         xc, yr = _sep_tile_coords(i, tiles_x)
-        sel_f, sel_r = _sep_tile_selectors()
         gd = gdense_ref[:]                   # (GD_ROWS, NBS)
-        _, ex, _, _, _, g2 = _sep_tile_factors(gd, xc, yr, sel_f, sel_r)
-        acc_ref[:] += jax.lax.dot_general(
+        _, ex, _, _, _, g2 = _sep_tile_factors(gd, xc, yr)
+        acc_ref[:] += _dot_pair(
             g2, ex, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision="highest",
         )                                    # (8*TH, TWC)
 
 
@@ -287,21 +279,17 @@ def _binned_bwd_kernel_sep(cnt_ref, gdense_ref, gband_ref, out_ref,
     @pl.when(j * NBS < cnt_ref[0, i])
     def _():
         xc, yr = _sep_tile_coords(i, tiles_x)
-        sel_f, sel_r = _sep_tile_selectors()
         gd = gdense_ref[:]                   # (GD_ROWS, NBS)
-        tx, ex, ty, ey, featsop, g2 = _sep_tile_factors(
-            gd, xc, yr, sel_f, sel_r)
+        tx, ex, ty, ey, featsop, g2 = _sep_tile_factors(gd, xc, yr)
         gb = gband_ref[:]                    # (8*TH, TWC) rows (f, r)
 
         # gG2[(f,r), i] = sum_c gband[(f,r), c] * Ex[c, i]
-        g_g2 = jax.lax.dot_general(
+        g_g2 = _dot_pair(
             gb, ex, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision="highest",
         )                                    # (8*TH, NBS)
         # gEx[c, i] = sum_{(f,r)} gband[(f,r), c] * G2[(f,r), i]
-        g_ex = jax.lax.dot_general(
+        g_ex = _dot_pair(
             gb, g2, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision="highest",
         )                                    # (TWC, NBS)
 
         # g_featop[f] = sum_r gG2[(f,r)] * Ey[r]; gEy[r] = sum_f

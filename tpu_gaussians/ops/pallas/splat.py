@@ -312,6 +312,20 @@ def _v2_fits(n_pad: int, backward: bool) -> bool:
     return n_pad * per_gaussian + fixed <= V2_VMEM_BUDGET
 
 
+def _sep_fits(n_pad: int, wp: int, backward: bool) -> bool:
+    """VMEM feasibility of the SEPARABLE band kernels (r4; the old gate
+    reused _v2_fits, whose 33.5 MB of v2-only (NB2, TP2) temporaries cut
+    the sep path off at ~360k gaussians — sep's per-block temporaries
+    are factor arrays bounded by ~(wp + rows) * nb * ~10 f32s instead).
+    Resident: gdata (GD_ROWS, n_pad) + in the backward the grad
+    accumulator of the same shape. r4 measured @1024^2: dense-sep wins
+    over binned at every n that fits (300k: 97.4 vs 210.7 ms; 100k:
+    26.2 vs 63.5 ms), so this bound IS the dense/binned crossover."""
+    resident = n_pad * GD_ROWS * 4 * (2 if backward else 1)
+    temps = (wp + FEAT_PAD * SEP_ROWS + 64) * 512 * 4 * 10
+    return resident + temps <= V2_VMEM_BUDGET
+
+
 def _v2_block(n: int) -> int:
     """Gaussian block for the v2 range loop: the lane-width multiple that
     minimizes padding waste, capped at NB2 (e.g. n=1200 -> 128-blocks pad
@@ -865,7 +879,8 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width, axis=False):
     nb, tp = _tile_sizes(n, hw)
     hw_pad = _round_up(hw, tp)
 
-    if axis and _v2_fits(_round_up(n, NB2), backward=False):
+    if axis and _sep_fits(_round_up(n, NB2), _round_up(width, 128),
+                          backward=False):
         lo, cnt, gdata, nbs, wp, hp, n_bands = _sep_prep(
             px, py, ca, cb, cc, op, feats, height, width)
         out = _fwd_call_sep(lo, cnt, gdata, n_bands, wp, nbs)
@@ -912,7 +927,8 @@ def _splat_bwd(height, width, axis, residuals, g):
     nb, tp = _tile_sizes(n, hw)
     hw_pad = _round_up(hw, tp)
 
-    if axis and _v2_fits(_round_up(n, NB2), backward=True):
+    if axis and _sep_fits(_round_up(n, NB2), _round_up(width, 128),
+                          backward=True):
         if prep is not None:
             lo, cnt, gdata = prep
             nbs, wp, hp, n_bands = _sep_dims(n, height, width)
