@@ -110,6 +110,33 @@ def main():
         tiles_y = (H + TH - 1) // TH
         n_tiles = tiles_x * tiles_y
 
+        # Dense separable band kernels — the r4 at-scale accum champion
+        # (auto-dispatch whenever _sep_fits; binned serves only beyond).
+        nb_d, wp_d, hp_d, n_bands_d = sp._sep_dims(N, H, W)
+        def _sorted_cnt(s_):
+            # Mirror splat_accumulate's y-sort: block activity ranges
+            # are computed on the y-SORTED arrays.
+            order = jnp.argsort(s_.py)
+            return sp._sep_prep(
+                s_.px[order], s_.py[order], s_.conic_a[order],
+                s_.conic_b[order], s_.conic_c[order], s_.op_eff[order],
+                s_.feats[order], H, W)[1]
+        cnt_d = jax.jit(_sorted_cnt)(s)
+        blocks_d = int(jax.device_get(cnt_d).sum())
+        br_d = sp.FEAT_PAD * sp.SEP_ROWS
+        mxu_d = blocks_d * 3 * (2 * br_d * nb_d * wp_d)  # fwd + 2 bwd
+        exps_d = blocks_d * nb_d * (wp_d + sp.SEP_ROWS) * 2
+        vpu_d = blocks_d * (nb_d * (wp_d + sp.SEP_ROWS) * 8
+                            + 2 * br_d * nb_d
+                            + 4 * (2 * br_d * nb_d + 2 * wp_d * nb_d
+                                   + br_d * wp_d))
+        hbm_d = 3 * n_bands_d * br_d * wp_d * 4
+        report(f"dense_sep@{size} kernels fwd+bwd",
+               (mxu_d, vpu_d, exps_d, hbm_d),
+               measured.get(f"dense_sep@{size}"), mxu_rate=MXU_B3)
+        print(f"    [dense_sep@{size}: bands={n_bands_d} nb={nb_d} "
+              f"wp={wp_d} active blocks={blocks_d}]")
+
         for label, cutoff, zsort, cap_default, kk in (
             ("binned_accum_exact", sp.W_CULL, False, 8192,
              bn._k_pairs(N, budget=bn.ACCUM_PAIR_BUDGET,

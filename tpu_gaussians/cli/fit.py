@@ -64,11 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--footprint", choices=["axis", "ewa"], default=d.footprint,
                     help="axis = reference-parity isotropic footprint; "
                          "ewa = trainable quaternion + full covariance")
-    ap.add_argument("--render_mode", choices=["accum", "sorted"],
+    ap.add_argument("--render_mode", choices=["auto", "accum", "sorted"],
                     default=d.render_mode,
-                    help="accum = reference weighted-average training; "
-                         "sorted = 3DGS-style depth-sorted alpha blending "
-                         "(fused Pallas VJP; no depth supervision)")
+                    help="auto = footprint-aware (ewa at >=32k capacity "
+                         "trains sorted — measured faster and lower loss; "
+                         "otherwise accum); accum = reference "
+                         "weighted-average training; sorted = 3DGS-style "
+                         "depth-sorted alpha blending (fused Pallas VJP)")
     ap.add_argument("--accum_binned", choices=["auto", "on", "off"],
                     default=d.accum_binned,
                     help="accum kernels: auto = tile-binned lists above "

@@ -85,10 +85,19 @@ def fit(
     depths_j = (jnp.asarray(depths, jnp.float32) if has_depths
                 else jnp.zeros((v, config.height, config.width), jnp.float32))
 
+    from tpu_gaussians.utils.config import resolve_render_mode
+
     render_config = RenderConfig(
         width=config.width, height=config.height, impl=config.impl,
         footprint=getattr(config, "footprint", "axis"),
-        mode=getattr(config, "render_mode", "accum"),
+        # "auto" resolves footprint-aware (config.py resolve_render_mode:
+        # ewa at >=32k capacity trains sorted, measured faster + lower
+        # loss; axis trains accum, the reference semantics AND the
+        # fastest r4 path). Capacity here is the fixed training
+        # capacity; init_npz can only raise it past the threshold test's
+        # margin, which is coarse anyway.
+        mode=resolve_render_mode(
+            config, max(config.max_gaussians, config.num_gaussians)),
         accum_binned=getattr(config, "accum_binned", "auto"),
         return_aux=True,
     )

@@ -94,8 +94,11 @@ from tpu_gaussians.ops.pallas.splat import (
 # sits LOWER than the forward-only ~20k cut, not higher as round 2
 # hypothesized — the dense EWA backward is even more expensive than
 # binned's scatter: 8k: dense 21.0 vs 27.3, 12k: 31.8 vs 28.8 (cross
-# ~10k), 16k: 41.4 vs 30.8, 65k: 166.4 vs 56.6 (512^2, r3 sweep;
-# re-checked at 1024^2 in r4 — see BASELINE.md).
+# ~10k), 16k: 41.4 vs 30.8, 65k: 166.4 vs 56.6 (512^2, r3 sweep).
+# r4 took the missing 1024^2 points (VERDICT r3 #6): 8k dense 80.9 vs
+# binned 103.7; 16k dense 161.1 vs binned 111.8; 49k dense 481.0 vs
+# binned 176.1 — crossover again between 8k and 16k, so the 10,240
+# threshold is frame-size-independent over the tested grid.
 BINNED_MIN_N_AXIS = 425_984
 BINNED_MIN_N = 10_240
 

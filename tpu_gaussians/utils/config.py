@@ -49,7 +49,9 @@ class FitConfig:
     seed: int = 0
     impl: str = "auto"            # renderer impl: auto | jnp | pallas
     footprint: str = "axis"       # axis (reference parity) | ewa (quat+cov)
-    render_mode: str = "accum"    # accum (reference training semantics) |
+    render_mode: str = "auto"     # auto (footprint-aware, see
+                                  # resolve_render_mode) | accum
+                                  # (reference training semantics) |
                                   # sorted (3DGS-style depth-sorted alpha
                                   # blending via the fused Pallas VJP)
     accum_binned: str = "auto"    # accum kernel choice: auto (tile-binned
@@ -82,3 +84,31 @@ class FitConfig:
     @staticmethod
     def from_json(text: str) -> "FitConfig":
         return FitConfig(**json.loads(text))
+
+
+# Sorted beats accum for EWA training from roughly this capacity up
+# (r3/r4 measured @100k: sorted-EWA 31.3/81.0 ms vs accum-EWA
+# 66.3/219.1 exact, 37.6/114.4 alpha-culled, 512^2/1024^2 — and sorted
+# converged LOWER loss on the example scene). For the axis footprint
+# accum stays the default at every scale: the r4 dense separable
+# kernels measure 9.7/26.2 ms @100k vs sorted's 26.9/78.4.
+SORTED_EWA_MIN_CAPACITY = 32_768
+
+
+def resolve_render_mode(config: "FitConfig", capacity: int) -> str:
+    """Resolve render_mode="auto" to a concrete training mode
+    (VERDICT r3 #5: defaults follow the measured data; fit-quality A/B
+    recorded in BASELINE.md r4).
+
+    - axis footprint -> "accum" (reference training semantics;
+      fastest measured path at every scale after the r4 kernel work).
+    - ewa footprint at capacity >= SORTED_EWA_MIN_CAPACITY ->
+      "sorted" (measured 1.2-2.7x faster than accum-EWA at scale and
+      the 3DGS training recipe; accum-EWA remains one flag away).
+    """
+    if config.render_mode != "auto":
+        return config.render_mode
+    if (getattr(config, "footprint", "axis") == "ewa"
+            and capacity >= SORTED_EWA_MIN_CAPACITY):
+        return "sorted"
+    return "accum"
