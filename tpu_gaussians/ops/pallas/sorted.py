@@ -100,6 +100,16 @@ def _exclusive_cumprod(x: Array, axis: int) -> Array:
 
     log2(n) shift-and-multiply doubling steps (Mosaic-friendly; avoids a
     serial scan). exclusive: index i gets prod(x[0..i-1]), index 0 gets 1.
+
+    r4 negative result: rewriting the scans as triangular-matrix MXU
+    contractions (cumsum = L @ u, cumprod = exp(L @ log x)) to offload
+    the VPU — the ladders are 45 of the kernels' ~101 VPU passes, and
+    the MXU idles at <6% — measured NO faster even at 1-pass bf16
+    precision (26.9 ms @100k/512^2, identical to the ladder; "highest"
+    measured 32.9). The scan feeds the immediately-following
+    transmittance math, so Mosaic serializes MXU and VPU instead of
+    overlapping them, and the matmul's issue cost just replaces the
+    ladder's pass cost. Keep the ladder.
     """
     n = x.shape[axis]
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
@@ -115,7 +125,8 @@ def _exclusive_cumprod(x: Array, axis: int) -> Array:
 
 def _inclusive_cumsum(x: Array, axis: int) -> Array:
     """Inclusive cumulative sum along `axis` (log2(n) shift-add doubling
-    passes, Mosaic-friendly like _exclusive_cumprod)."""
+    passes; see _exclusive_cumprod for the r4 matmul-scan negative
+    result)."""
     n = x.shape[axis]
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
     y = x
