@@ -43,7 +43,13 @@ jax.tree_util.register_dataclass(
 
 def make_optimizer(lr: float = 0.02) -> optax.GradientTransformation:
     """Adam with the reference's hyperparameters (torch defaults:
-    betas (0.9, 0.999), eps 1e-8; fit_multiview_stub.py:262)."""
+    betas (0.9, 0.999), eps 1e-8; fit_multiview_stub.py:262).
+
+    r4 negative result: optax.flatten(adam) — one concatenated vector
+    instead of per-leaf moment math, aimed at the ~11.5 us Adam/misc
+    fusion bucket in the flagship step trace — measured 157.1 vs
+    129.0 us/step. The ravel+concat+slice+reshape plumbing costs more
+    than the small per-leaf fusions it replaces. Keep per-leaf Adam."""
     return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
 
 

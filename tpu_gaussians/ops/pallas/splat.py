@@ -329,7 +329,14 @@ def _sep_fits(n_pad: int, wp: int, backward: bool) -> bool:
 def _v2_block(n: int) -> int:
     """Gaussian block for the v2 range loop: the lane-width multiple that
     minimizes padding waste, capped at NB2 (e.g. n=1200 -> 128-blocks pad
-    to 1280, not 1536 — padded pairs are pure wasted VPU work)."""
+    to 1280, not 1536 — padded pairs are pure wasted VPU work).
+
+    r4 re-examined for large n (where padding is negligible at every
+    block size): bigger blocks trade per-iteration issue overhead
+    against COARSER y-cull granularity, and the measured effect is a
+    +-5% wash (100k dense-sep: this rule's nb=256 measured 9.7-10.0 ms
+    @512^2 / 26.2-28.6 @1024^2 across sessions; forcing nb=512 gave
+    9.1/27.6 — inside that spread). The padding-minimizing rule stays."""
     best = NB2
     for nb in (128, 256, 384, 512):  # ascending: ties -> larger block
         if nb > NB2:
