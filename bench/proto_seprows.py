@@ -94,7 +94,8 @@ def main():
     from tpu_gaussians.ops.pallas import splat as sp
 
     for rows in (8, 16):
-        sp.SEP_ROWS = rows
+        import os
+        os.environ['TPUGS_SEP_ROWS'] = str(rows)  # r4: rows is per-call now
         jf, st = build_step()
         t = measure(jf, st)
         d = parity()

@@ -112,7 +112,7 @@ def main():
 
         # Dense separable band kernels — the r4 at-scale accum champion
         # (auto-dispatch whenever _sep_fits; binned serves only beyond).
-        nb_d, wp_d, hp_d, n_bands_d = sp._sep_dims(N, H, W)
+        nb_d, wp_d, hp_d, n_bands_d, rows_d = sp._sep_dims(N, H, W)
         def _sorted_cnt(s_):
             # Mirror splat_accumulate's y-sort: block activity ranges
             # are computed on the y-SORTED arrays.
@@ -123,10 +123,10 @@ def main():
                 s_.feats[order], H, W)[1]
         cnt_d = jax.jit(_sorted_cnt)(s)
         blocks_d = int(jax.device_get(cnt_d).sum())
-        br_d = sp.FEAT_PAD * sp.SEP_ROWS
+        br_d = sp.FEAT_PAD * rows_d
         mxu_d = blocks_d * 3 * (2 * br_d * nb_d * wp_d)  # fwd + 2 bwd
-        exps_d = blocks_d * nb_d * (wp_d + sp.SEP_ROWS) * 2
-        vpu_d = blocks_d * (nb_d * (wp_d + sp.SEP_ROWS) * 8
+        exps_d = blocks_d * nb_d * (wp_d + rows_d) * 2
+        vpu_d = blocks_d * (nb_d * (wp_d + rows_d) * 8
                             + 2 * br_d * nb_d
                             + 4 * (2 * br_d * nb_d + 2 * wp_d * nb_d
                                    + br_d * wp_d))
@@ -241,18 +241,18 @@ def main():
     )
     c = cam.orbit_cameras(1, W, H)
     s = jax.jit(lambda gg: prepare_splats(gg, c.view[0], c.proj[0], W, H))(gf)
-    nb, wp, hp, n_bands = sp._sep_dims(N_F, H, W)
+    nb, wp, hp, n_bands, rows_f = sp._sep_dims(N_F, H, W)
     lo, cnt_b, gdata = jax.jit(
         lambda s_: sp._sep_prep(s_.px, s_.py, s_.conic_a, s_.conic_b,
                                 s_.conic_c, s_.op_eff, s_.feats,
                                 H, W)[:3])(s)
     blocks = int(jax.device_get(cnt_b).sum())
-    br = sp.FEAT_PAD * sp.SEP_ROWS
+    br = sp.FEAT_PAD * rows_f
     # r4: selector matmuls replaced by broadcasts; pair matmuls run b3.
     mxu_f = blocks * (2 * br * nb * wp)
     mxu_b = blocks * (2 * br * nb * wp + 2 * wp * nb * br)
-    exps = blocks * nb * (wp + sp.SEP_ROWS) * 2
-    vpu = blocks * (nb * (wp + sp.SEP_ROWS) * 8
+    exps = blocks * nb * (wp + rows_f) * 2
+    vpu = blocks * (nb * (wp + rows_f) * 8
                     + 2 * br * nb                       # g_mat build x2
                     + 4 * (2 * br * nb + 2 * wp * nb
                            + br * wp))                  # b3 splits

@@ -1,7 +1,12 @@
 #!/bin/bash
 # Binned/dense crossover sweep, fwd+bwd, DCE-proof harness (VERDICT r2 #4).
-# Produces the data that sets BINNED_MIN_N / BINNED_MIN_N_AXIS in
-# ops/pallas/binned.py. Run: bash bench/sweep_crossover.sh [out_log]
+# Produces the data behind BINNED_MIN_N (EWA) in ops/pallas/binned.py.
+# NOTE (r4): the AXIS crossover is no longer a gaussian-count constant —
+# dense-sep wins at every n that fits VMEM and dispatch asks
+# splat._sep_fits directly (BINNED_MIN_N_AXIS survives only as a
+# frameless fallback); the AXIS stanza below is kept for regression
+# evidence. 1024^2 EWA points were taken in r4 (BASELINE.md).
+# Run: bash bench/sweep_crossover.sh [out_log]
 set -u
 LOG="${1:-/tmp/crossover_sweep.log}"
 cd "$(dirname "$0")/.."

@@ -322,7 +322,7 @@ def _sep_fits(n_pad: int, wp: int, backward: bool) -> bool:
     over binned at every n that fits (300k: 97.4 vs 210.7 ms; 100k:
     26.2 vs 63.5 ms), so this bound IS the dense/binned crossover."""
     resident = n_pad * GD_ROWS * 4 * (2 if backward else 1)
-    temps = (wp + FEAT_PAD * SEP_ROWS + 64) * 512 * 4 * 10
+    temps = (wp + FEAT_PAD * _sep_rows(n_pad) + 64) * 512 * 4 * 10
     return resident + temps <= V2_VMEM_BUDGET
 
 
@@ -551,22 +551,36 @@ def _bwd_call_v2(lo, cnt, gdata, g8, hw_pad: int, width: int,
 # Output rows / post-pass are shared with the v2 kernels. The EWA
 # footprint (b != 0) keeps the general v2/v1 kernels.
 
-SEP_ROWS = 16  # image rows per band. 8 (the f32 sublane quantum) caps
-               # the G matrix at FEAT_PAD*8 = 64 rows — HALF the MXU's
-               # 128-row systolic height, a hard 50% utilization ceiling
-               # on the dominant matmul. 16 fills the array: flagship
-               # step 0.339 -> 0.279 ms (193 -> 235 Mpix/s), dense accum
-               # @100k 21.5 -> 18.0 ms @512² / 67.0 -> 52.8 @1024², at
-               # bit-identical pallas-vs-jnp parity (r3 measured,
-               # bench/proto_seprows.py; 32 gave only +4% more with
-               # coarser y-culling and 2-pass matmuls — not taken).
+# Image rows per band (R). 8 (the f32 sublane quantum) caps the G matrix
+# at FEAT_PAD*8 = 64 rows — half the MXU's 128-row systolic height — so
+# R >= 16 fills the array. Beyond that R trades PER-BAND issue overhead
+# against Y-CULL granularity, and the right choice is scene-size
+# dependent (r4 measured, all else equal):
+#   flagship (1200 G, dense mask — culling buys nothing): R=16 129.0
+#   us/step, R=32 110.8, R=64 104.2, R=128 100.1 -> big bands win;
+#   at-scale (100k G, small splats, sparse mask): R=16 9.7/26.2 ms
+#   @512^2/1024^2, R=128 12.2/31.9 -> fine bands win.
+# _sep_rows picks per problem size; TPUGS_SEP_ROWS forces a value for
+# experiments (bench/proto_seprows.py).
+SEP_ROWS_SMALL = 64
+SEP_ROWS_LARGE = 16
+SEP_SMALL_MAX_N = 8192
 
 
-def _sep_dims(n: int, height: int, width: int) -> Tuple[int, int, int, int]:
+def _sep_rows(n: int) -> int:
+    env = _os.environ.get("TPUGS_SEP_ROWS", "")
+    if env:
+        return int(env)
+    return SEP_ROWS_SMALL if n <= SEP_SMALL_MAX_N else SEP_ROWS_LARGE
+
+
+def _sep_dims(n: int, height: int, width: int) -> Tuple[int, int, int,
+                                                        int, int]:
     nb = _v2_block(n)
+    rows = _sep_rows(n)
     wp = _round_up(width, 128)
-    hp = _round_up(height, SEP_ROWS)
-    return nb, wp, hp, hp // SEP_ROWS
+    hp = _round_up(height, rows)
+    return nb, wp, hp, hp // rows, rows
 
 
 def _sep_factors(gd, xc, yr):
@@ -581,33 +595,34 @@ def _sep_factors(gd, xc, yr):
     the broadcast form removes both the matmuls and the precision
     coupling."""
     nb = gd.shape[1]
+    rows = yr.shape[0]
     tx = xc - gd[0:1, :]                           # (Wp, nb)
     ex = jnp.exp(gd[2:3, :] * (tx * tx))
     ty = yr - gd[1:2, :]                           # (R, nb)
     ey = jnp.exp(gd[4:5, :] * (ty * ty))
     featsop = gd[GD_FEAT0 : GD_FEAT0 + FEAT_PAD, :]
     featsrep = jnp.broadcast_to(
-        featsop[:, None, :], (FEAT_PAD, SEP_ROWS, nb)
-    ).reshape(FEAT_PAD * SEP_ROWS, nb)             # row l -> featsop[l//R]
+        featsop[:, None, :], (FEAT_PAD, rows, nb)
+    ).reshape(FEAT_PAD * rows, nb)                 # row l -> featsop[l//R]
     eyrep = jnp.broadcast_to(
-        ey[None, :, :], (FEAT_PAD, SEP_ROWS, nb)
-    ).reshape(FEAT_PAD * SEP_ROWS, nb)             # row l -> ey[l%R]
+        ey[None, :, :], (FEAT_PAD, rows, nb)
+    ).reshape(FEAT_PAD * rows, nb)                 # row l -> ey[l%R]
     g_mat = featsrep * eyrep
     return tx, ex, ty, ey, featsop, eyrep, featsrep, g_mat
 
 
-def _sep_coords(i, wp: int):
+def _sep_coords(i, wp: int, rows: int):
     xc = jax.lax.broadcasted_iota(
         jnp.int32, (wp, 1), dimension=0).astype(jnp.float32) + 0.5
-    yr = ((i * SEP_ROWS) + jax.lax.broadcasted_iota(
-        jnp.int32, (SEP_ROWS, 1), dimension=0)).astype(jnp.float32) + 0.5
+    yr = ((i * rows) + jax.lax.broadcasted_iota(
+        jnp.int32, (rows, 1), dimension=0)).astype(jnp.float32) + 0.5
     return xc, yr
 
 
 def _fwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, acc_ref, *, wp: int,
-                    nb: int):
-    i = pl.program_id(0)  # band of SEP_ROWS image rows
-    xc, yr = _sep_coords(i, wp)
+                    nb: int, rows: int):
+    i = pl.program_id(0)  # band of `rows` image rows
+    xc, yr = _sep_coords(i, wp, rows)
     acc_ref[:] = jnp.zeros_like(acc_ref)
     lo = lo_ref[0, i]
     cnt = cnt_ref[0, i]
@@ -625,11 +640,12 @@ def _fwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, acc_ref, *, wp: int,
     jax.lax.fori_loop(0, cnt, body, 0)
 
 
-def _fwd_call_sep(lo, cnt, gdata, n_bands: int, wp: int, nb: int) -> Array:
+def _fwd_call_sep(lo, cnt, gdata, n_bands: int, wp: int, nb: int,
+                  rows: int) -> Array:
     n_pad = gdata.shape[1]
-    br = FEAT_PAD * SEP_ROWS
+    br = FEAT_PAD * rows
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_sep, wp=wp, nb=nb),
+        functools.partial(_fwd_kernel_sep, wp=wp, nb=nb, rows=rows),
         grid=(n_bands,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # lo
@@ -649,14 +665,14 @@ def _fwd_call_sep(lo, cnt, gdata, n_bands: int, wp: int, nb: int) -> Array:
 
 
 def _bwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, gband_ref, out_ref,
-                    *, wp: int, nb: int):
+                    *, wp: int, nb: int, rows: int):
     i = pl.program_id(0)  # band
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    xc, yr = _sep_coords(i, wp)
+    xc, yr = _sep_coords(i, wp, rows)
     lo = lo_ref[0, i]
     cnt = cnt_ref[0, i]
 
@@ -679,7 +695,7 @@ def _bwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, gband_ref, out_ref,
         # g_featop[f] = sum_r gG[(f,r)] * Ey[r];  gEy[r] = sum_f
         # gG[(f,r)] * featsop[f] — (R, nb) slice sums (measured faster
         # than selector matmuls here: the contraction outputs are thin).
-        r = SEP_ROWS
+        r = rows
         g_featop = jnp.concatenate(
             [jnp.sum(g_g[f * r : (f + 1) * r, :] * ey, axis=0,
                      keepdims=True) for f in range(FEAT_PAD)], axis=0
@@ -711,11 +727,11 @@ def _bwd_kernel_sep(lo_ref, cnt_ref, gdata_ref, gband_ref, out_ref,
 
 
 def _bwd_call_sep(lo, cnt, gdata, gband, n_bands: int, wp: int,
-                  nb: int) -> Array:
+                  nb: int, rows: int) -> Array:
     n_pad = gdata.shape[1]
-    br = FEAT_PAD * SEP_ROWS
+    br = FEAT_PAD * rows
     return pl.pallas_call(
-        functools.partial(_bwd_kernel_sep, wp=wp, nb=nb),
+        functools.partial(_bwd_kernel_sep, wp=wp, nb=nb, rows=rows),
         grid=(n_bands,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # lo
@@ -739,18 +755,18 @@ def _bwd_call_sep(lo, cnt, gdata, gband, n_bands: int, wp: int,
 def _sep_prep(px, py, ca, cb, cc, op, feats, height, width):
     """Shared fwd/bwd staging for the separable path: pad, mask, pack."""
     n = px.shape[0]
-    nb, wp, hp, n_bands = _sep_dims(n, height, width)
+    nb, wp, hp, n_bands, rows = _sep_dims(n, height, width)
     n_pad = _round_up(n, nb)
     px_p, py_p, ca_p, cb_p, cc_p, op_p, feats_p = _pad_inputs(
         px, py, ca, cb, cc, op, feats, n_pad)
     sy_eff = _sigma_y_from_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
     mask = _band_block_mask(py_p[:, 0], sy_eff, op_p[:, 0],
-                            n_bands, SEP_ROWS * wp, nb, wp)
+                            n_bands, rows * wp, nb, wp)
     lo, cnt = _block_ranges(mask)
     sa, sb, sc = _scale_conic(ca_p[:, 0], cb_p[:, 0], cc_p[:, 0])
     gdata = _pack_gdata(px_p[:, 0], py_p[:, 0], sa, sb, sc,
                         op_p[:, 0], feats_p)
-    return lo, cnt, gdata, nb, wp, hp, n_bands
+    return lo, cnt, gdata, nb, wp, hp, n_bands, rows
 
 
 # ---------------------------------------------------------------- backward
@@ -888,11 +904,11 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width, axis=False):
 
     if axis and _sep_fits(_round_up(n, NB2), _round_up(width, 128),
                           backward=False):
-        lo, cnt, gdata, nbs, wp, hp, n_bands = _sep_prep(
+        lo, cnt, gdata, nbs, wp, hp, n_bands, rows = _sep_prep(
             px, py, ca, cb, cc, op, feats, height, width)
-        out = _fwd_call_sep(lo, cnt, gdata, n_bands, wp, nbs)
+        out = _fwd_call_sep(lo, cnt, gdata, n_bands, wp, nbs, rows)
         # (n_bands * 8R, Wp) rows (band, f, r) -> (hw, FEAT_DIM) crop.
-        acc = out.reshape(n_bands, FEAT_PAD, SEP_ROWS, wp).transpose(
+        acc = out.reshape(n_bands, FEAT_PAD, rows, wp).transpose(
             0, 2, 3, 1).reshape(hp, wp, FEAT_PAD)[:height, :width]
         acc = acc.reshape(hw, FEAT_PAD)[:, :FEAT_DIM]
         # The backward reuses the staged (lo, cnt, gdata) instead of
@@ -938,17 +954,18 @@ def _splat_bwd(height, width, axis, residuals, g):
                           backward=True):
         if prep is not None:
             lo, cnt, gdata = prep
-            nbs, wp, hp, n_bands = _sep_dims(n, height, width)
+            nbs, wp, hp, n_bands, rows = _sep_dims(n, height, width)
         else:
-            lo, cnt, gdata, nbs, wp, hp, n_bands = _sep_prep(
+            lo, cnt, gdata, nbs, wp, hp, n_bands, rows = _sep_prep(
                 px, py, ca, cb, cc, op, feats, height, width)
         # Cotangent -> the forward's (band, f, r) x Wp layout.
         g8 = jnp.pad(g.reshape(height, width, FEAT_DIM),
                      ((0, hp - height), (0, wp - width),
                       (0, FEAT_PAD - FEAT_DIM)))
-        gband = g8.reshape(n_bands, SEP_ROWS, wp, FEAT_PAD).transpose(
-            0, 3, 1, 2).reshape(n_bands * FEAT_PAD * SEP_ROWS, wp)
-        outT = _bwd_call_sep(lo, cnt, gdata, gband, n_bands, wp, nbs)
+        gband = g8.reshape(n_bands, rows, wp, FEAT_PAD).transpose(
+            0, 3, 1, 2).reshape(n_bands * FEAT_PAD * rows, wp)
+        outT = _bwd_call_sep(lo, cnt, gdata, gband, n_bands, wp, nbs,
+                             rows)
         out = outT.T[:n]        # rows [Mdx, Mdy, Mxx, 0, Myy, 0, g_featop]
         mdx, mdy = out[:, 0], out[:, 1]
         mxx, myy = out[:, 2], out[:, 4]
