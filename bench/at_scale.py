@@ -69,6 +69,9 @@ def main():
                          "reference C++ w<1e-5 drop)")
     ap.add_argument("--cap", type=int, default=0,
                     help="binned-accum per-tile capacity (0 = auto)")
+    ap.add_argument("--pair_k", type=int, default=0,
+                    help="sorted-path per-gaussian tile budget "
+                         "(0 = auto from PAIR_BUDGET)")
     args = ap.parse_args()
 
     from tpu_gaussians.utils.cache import enable_compilation_cache
@@ -108,6 +111,7 @@ def main():
                               mode=mode, footprint=args.fp,
                               accum_binned=args.binned,
                               accum_cull=args.cull,
+                              sorted_pair_k=args.pair_k,
                               accum_tile_capacity=args.cap)
 
             def loss(gg):
