@@ -129,7 +129,11 @@ def main():
     vs = 0.0
     if baseline_file.exists():
         base = json.loads(baseline_file.read_text())
-        vs = pixels_per_s / base["pixels_per_s"]
+        # Wall-vs-wall: the torch baseline is a wall-clock measurement
+        # (measure_torch_baseline.py), so the comparable numerator is
+        # the wall marginal, not the device-time headline — keeps
+        # vs_baseline apples-to-apples with prior rounds' records.
+        vs = wall_pixels_per_s / base["pixels_per_s"]
 
     print(json.dumps({
         "metric": "pixels_per_s_per_chip_fwd_bwd_256x256_1200sh",

@@ -85,39 +85,11 @@ def fit(
     depths_j = (jnp.asarray(depths, jnp.float32) if has_depths
                 else jnp.zeros((v, config.height, config.width), jnp.float32))
 
-    from tpu_gaussians.utils.config import resolve_render_mode
-
-    render_config = RenderConfig(
-        width=config.width, height=config.height, impl=config.impl,
-        footprint=getattr(config, "footprint", "axis"),
-        # "auto" resolves footprint-aware (config.py resolve_render_mode:
-        # ewa at >=32k capacity trains sorted, measured faster + lower
-        # loss; axis trains accum, the reference semantics AND the
-        # fastest r4 path). Capacity here is the fixed training
-        # capacity; init_npz can only raise it past the threshold test's
-        # margin, which is coarse anyway.
-        mode=resolve_render_mode(
-            config, max(config.max_gaussians, config.num_gaussians)),
-        accum_binned=getattr(config, "accum_binned", "auto"),
-        return_aux=True,
-    )
-    loss_config = LossConfig(
-        silhouette_weight=config.silhouette_weight,
-        depth_weight=config.depth_weight,
-        reg_opacity=config.reg_opacity,
-        reg_scale=config.reg_scale,
-        ssim_weight=getattr(config, "ssim_weight", 0.0),
-    )
-    densify_config = DensifyConfig(
-        densify_interval=config.densify_interval,
-        prune_interval=config.prune_interval,
-        densify_ratio=config.densify_ratio,
-        prune_opacity=config.prune_opacity,
-        clone_metric=config.clone_metric,
-        split_scale_thresh=float(getattr(config, "split_scale_thresh", 0.0)),
-        split_shrink=float(getattr(config, "split_shrink", 1.6)),
-    )
-
+    # Capacity (and the initial params) BEFORE the render config: the
+    # render_mode="auto" resolution is capacity-dependent, and an
+    # --init_npz can raise capacity past SORTED_EWA_MIN_CAPACITY — an
+    # EWA warm-start from a 100k npz must train sorted even when the
+    # configured max_gaussians is small (r4 review finding).
     key = jax.random.PRNGKey(config.seed)
     key, k_init = jax.random.split(key)
     capacity = max(config.max_gaussians, config.num_gaussians)
@@ -140,6 +112,36 @@ def fit(
             k_init, config.num_gaussians, capacity, config.use_sh,
             use_quats=(getattr(config, "footprint", "axis") == "ewa"),
             sh_degree=getattr(config, "sh_degree", 1))
+
+    from tpu_gaussians.utils.config import resolve_render_mode
+
+    render_config = RenderConfig(
+        width=config.width, height=config.height, impl=config.impl,
+        footprint=getattr(config, "footprint", "axis"),
+        # "auto" resolves footprint-aware (config.py resolve_render_mode:
+        # ewa at >=32k capacity trains sorted, measured faster + lower
+        # loss; axis trains accum, the reference semantics AND the
+        # fastest r4 path).
+        mode=resolve_render_mode(config, capacity),
+        accum_binned=getattr(config, "accum_binned", "auto"),
+        return_aux=True,
+    )
+    loss_config = LossConfig(
+        silhouette_weight=config.silhouette_weight,
+        depth_weight=config.depth_weight,
+        reg_opacity=config.reg_opacity,
+        reg_scale=config.reg_scale,
+        ssim_weight=getattr(config, "ssim_weight", 0.0),
+    )
+    densify_config = DensifyConfig(
+        densify_interval=config.densify_interval,
+        prune_interval=config.prune_interval,
+        densify_ratio=config.densify_ratio,
+        prune_opacity=config.prune_opacity,
+        clone_metric=config.clone_metric,
+        split_scale_thresh=float(getattr(config, "split_scale_thresh", 0.0)),
+        split_shrink=float(getattr(config, "split_shrink", 1.6)),
+    )
 
     tx = make_optimizer(config.lr)
     state = init_state(raw, tx)

@@ -90,11 +90,11 @@ def render_accum(
             # r4: the axis dense-sep kernels beat binned at every n
             # that fits VMEM (BASELINE.md r4 sweep: 100k/1024^2 dense
             # 26.2 vs binned 63.5 ms; 300k: 97.4 vs 210.7) — the
-            # crossover IS the sep path's VMEM capacity.
-            auto_binned = not pallas_splat._sep_fits(
-                pallas_splat._round_up(n, pallas_splat.NB2),
-                pallas_splat._round_up(config.width, 128),
-                backward=True)
+            # crossover IS the sep path's VMEM capacity, asked via the
+            # predicate splat.py owns (same test _splat_fwd/_splat_bwd
+            # gate on, so dispatch and kernels never desynchronize).
+            auto_binned = not pallas_splat.sep_path_available(
+                n, config.width)
         else:
             auto_binned = n >= pallas_binned.binned_min_n(False)
         use_binned = (config.accum_binned == "on"
@@ -110,8 +110,12 @@ def render_accum(
             )
         else:
             if config.accum_cull != "exact" or config.accum_tile_capacity:
+                # Static path label (no per-n text: the dedup key would
+                # otherwise emit one warning per scene size and grow
+                # _warned unboundedly in long-lived servers).
                 _warn_ignored("accum_cull/accum_tile_capacity",
-                              f"dense pallas (n={n} < binned_min_n)")
+                              "dense pallas (auto chose dense: sep fits "
+                              "VMEM for axis / n < binned_min_n for ewa)")
             acc = pallas_splat.splat_accumulate(
                 s, config.height, config.width, axis=axis,
             )

@@ -326,6 +326,22 @@ def _sep_fits(n_pad: int, wp: int, backward: bool) -> bool:
     return resident + temps <= V2_VMEM_BUDGET
 
 
+def sep_path_available(n: int, width: int) -> bool:
+    """Public predicate: will the separable axis path serve this problem
+    (fwd AND bwd)? The single source of truth for the dense/binned
+    dispatch choice (ops/dispatch.py) and for _splat_fwd/_splat_bwd's
+    own gates — one deliberately CONSERVATIVE test (backward=True) on
+    both sides: if the forward gated on its larger fwd-only capacity, a
+    500k-gaussian render that later got differentiated would stage sep
+    residuals and then fall back to the v1 spill kernels for the
+    backward (measured 2514 ms @400k/1024^2) instead of dispatch having
+    routed the whole computation to binned. The cost is that
+    forward-only renders in the narrow fwd-fits/bwd-doesn't window
+    (~450-600k @1024^2) take the binned path too."""
+    return _sep_fits(_round_up(n, NB2), _round_up(width, 128),
+                     backward=True)
+
+
 def _v2_block(n: int) -> int:
     """Gaussian block for the v2 range loop: the lane-width multiple that
     minimizes padding waste, capped at NB2 (e.g. n=1200 -> 128-blocks pad
@@ -902,8 +918,7 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width, axis=False):
     nb, tp = _tile_sizes(n, hw)
     hw_pad = _round_up(hw, tp)
 
-    if axis and _sep_fits(_round_up(n, NB2), _round_up(width, 128),
-                          backward=False):
+    if axis and sep_path_available(n, width):
         lo, cnt, gdata, nbs, wp, hp, n_bands, rows = _sep_prep(
             px, py, ca, cb, cc, op, feats, height, width)
         out = _fwd_call_sep(lo, cnt, gdata, n_bands, wp, nbs, rows)
@@ -950,8 +965,7 @@ def _splat_bwd(height, width, axis, residuals, g):
     nb, tp = _tile_sizes(n, hw)
     hw_pad = _round_up(hw, tp)
 
-    if axis and _sep_fits(_round_up(n, NB2), _round_up(width, 128),
-                          backward=True):
+    if axis and sep_path_available(n, width):
         if prep is not None:
             lo, cnt, gdata = prep
             nbs, wp, hp, n_bands, rows = _sep_dims(n, height, width)
@@ -1048,7 +1062,14 @@ SORT_MM_MAX = 2048  # permutation-as-matmul cutover: the O(n^2) rank
 def _perm_matrix_by_y(py: Array) -> Array:
     """Exact one-hot permutation matrix R of the stable ascending y-sort:
     R[j, p] = 1 iff element j lands at sorted position p (ties broken by
-    index, matching jnp.argsort's stability)."""
+    index, matching jnp.argsort's stability).
+
+    Contract: py must be finite. A NaN would rank 0 alongside every
+    other NaN (all comparisons false), collapsing R rows onto the same
+    position — i.e. silently DROPPING gaussians, a worse failure than
+    argsort's NaNs-last. prepare_splats guarantees finiteness (safe-w
+    divide, torch_renderer.py:66-68 semantics); utils/debug's
+    assert_finite is the debug-mode guard."""
     n = py.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     lt = py[:, None] < py[None, :]          # lt[i, j]: py_i before py_j
