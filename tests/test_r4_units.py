@@ -76,6 +76,15 @@ class TestSepFits:
         assert sp._sep_fits(sp._round_up(400_000, sp.NB2), 1024, True)
         assert not sp._sep_fits(sp._round_up(500_000, sp.NB2), 1024, True)
 
+    def test_public_predicate_matches_kernel_gate(self):
+        # dispatch and the kernels must share ONE dense/binned decision
+        # (r4 review finding: hand-copied gates desynchronize). The
+        # public predicate is conservative: it answers for fwd AND bwd.
+        assert sp.sep_path_available(400_000, 1024)
+        assert not sp.sep_path_available(500_000, 1024)
+        assert sp.sep_path_available(100_000, 1024)
+        assert sp.sep_path_available(1200, 256)
+
 
 class TestResolveRenderMode:
     def _cfg(self, **kw):
