@@ -575,12 +575,15 @@ def _bwd_call_v2(lo, cnt, gdata, g8, hw_pad: int, width: int,
 #   flagship (1200 G, dense mask — culling buys nothing): R=16 129.0
 #   us/step, R=32 110.8, R=64 104.2, R=128 100.1 -> big bands win;
 #   at-scale (100k G, small splats, sparse mask): R=16 9.7/26.2 ms
-#   @512^2/1024^2, R=128 12.2/31.9 -> fine bands win.
-# _sep_rows picks per problem size; TPUGS_SEP_ROWS forces a value for
+#   @512^2/1024^2, R=128 12.2/31.9 -> fine bands win (R=32/64 tie R=16
+#   within noise at 100k, but R=16 preserves ~60k more _sep_fits
+#   capacity at 1024^2 — R=64 temps would push 400k off the sep path).
+# Knee measured at 512^2: 16k R=64 1.6 vs R=16 2.0 ms; 32k R=64 3.5 vs
+# R=16 2.9 ms -> threshold between. TPUGS_SEP_ROWS forces a value for
 # experiments (bench/proto_seprows.py).
 SEP_ROWS_SMALL = 64
 SEP_ROWS_LARGE = 16
-SEP_SMALL_MAX_N = 8192
+SEP_SMALL_MAX_N = 16_384
 
 
 def _sep_rows(n: int) -> int:
