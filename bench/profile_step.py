@@ -1,8 +1,10 @@
 """Stage-level breakdown of the bench.py train step (STATUS.md gap #3).
 
 Times each pipeline stage with the marginal-scan method (K2-step scan
-minus K1-step scan, all on device) at the bench config: 1200 SH
-gaussians, 256x256, one view. Stages:
+minus K1-step scan, all on device, durations read from the PROFILER
+trace — r4: the stages dropped under ~0.1 ms, below the wall-clock
+marginal's ~ms host-jitter floor, so wall timing printed 0.000 rows)
+at the bench config: 1200 SH gaussians, 256x256, one view. Stages:
 
   splat_fwd      Pallas accumulation kernel alone
   splat_fwdbwd   kernel + hand-fused VJP (via jax.grad of a sum)
@@ -28,21 +30,34 @@ import jax.numpy as jnp
 from tpu_gaussians.utils.cache import enable_compilation_cache
 
 
-def marginal(jf, args, k1=8, k2=40, reps=2):
-    def timed(k):
+def marginal(jf, args, k1=16, k2=216, reps=2):
+    def run(k):
         out = jf(*args, k)
-        jax.tree.map(lambda a: a.block_until_ready(), out)
-        f = float(jax.tree.leaves(out)[0].reshape(-1)[0])  # force fetch
+        float(jax.tree.leaves(out)[0].reshape(-1)[0])  # sync via fetch
+
+    run(k1)
+    run(k2)  # warm/compile both trip counts
+
+    from tpu_gaussians.utils.profiling import device_program_times_us
+
+    try:
+        durs = device_program_times_us(lambda: (run(k1), run(k2)))
+        # The scalar fetch emits ~0.6 us jit stub programs into the
+        # trace; the K1/K2 scans are the two LARGEST events.
+        if len(durs) >= 2:
+            d1, d2 = sorted(durs)[-2:]
+            return max((d2 - d1) * 1e-6 / (k2 - k1), 1e-9)
+    except Exception:
+        pass
+    # Fallback: wall marginal (coarse below ~1 ms/stage).
+    def timed(k):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = jf(*args, k)
-            float(jax.tree.leaves(out)[0].reshape(-1)[0])
+            run(k)
             best = min(best, time.perf_counter() - t0)
         return best
-    t1 = timed(k1)
-    t2 = timed(k2)
-    return max((t2 - t1) / (k2 - k1), 1e-9)
+    return max((timed(k2) - timed(k1)) / (k2 - k1), 1e-9)
 
 
 def chain(fn):
