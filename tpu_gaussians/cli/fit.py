@@ -99,6 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--log_every", type=int, default=d.log_every)
     ap.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--sorted_pair_k", type=int, default=d.sorted_pair_k,
+                    help="sorted-mode per-gaussian tile budget "
+                         "(0 = measured auto)")
     ap.add_argument("--num_view_shards", type=int, default=d.num_view_shards,
                     help="shard the view batch over N devices (data parallel)")
     return ap

@@ -115,6 +115,21 @@ def fit(
 
     from tpu_gaussians.utils.config import resolve_render_mode
 
+    mode = resolve_render_mode(config, capacity)
+    pair_k = int(getattr(config, "sorted_pair_k", 0))
+    if mode == "sorted" and pair_k == 0 and config.impl != "jnp":
+        # Measured init-time pair budget (r5): the generic _k_pairs
+        # formula over-budgets ~4x for real scenes, and the padded pair
+        # sort scales with it. Growth past the budget is observable via
+        # the clipped_rect_pairs counter + lossy-render warning.
+        from tpu_gaussians.models.gaussian_model import activate
+        from tpu_gaussians.ops.pallas.sorted import auto_pair_k
+
+        pair_k = auto_pair_k(
+            activate(raw), cameras.view, cameras.proj, config.width,
+            config.height, footprint=getattr(config, "footprint", "axis"))
+        print(f"sorted pair budget k={pair_k} (measured max rect, "
+              f"auto; override with --sorted_pair_k)")
     render_config = RenderConfig(
         width=config.width, height=config.height, impl=config.impl,
         footprint=getattr(config, "footprint", "axis"),
@@ -122,8 +137,9 @@ def fit(
         # ewa at >=32k capacity trains sorted, measured faster + lower
         # loss; axis trains accum, the reference semantics AND the
         # fastest r4 path).
-        mode=resolve_render_mode(config, capacity),
+        mode=mode,
         accum_binned=getattr(config, "accum_binned", "auto"),
+        sorted_pair_k=pair_k,
         return_aux=True,
     )
     loss_config = LossConfig(

@@ -95,6 +95,41 @@ def _k_pairs(n: int, budget: int = PAIR_BUDGET, kmin: int = K_MIN,
     return int(min(kmax, max(kmin, budget // max(n, 1))))
 
 
+def auto_pair_k(g, views, projs, width: int, height: int,
+                footprint: str = "axis") -> int:
+    """Init-time measured pair budget for TRAINING (r5 VERDICT #1b).
+
+    _k_pairs' budget formula gave K=64 at n=100k while the measured
+    max rect over real scenes was 14 tiles (p95=8) at 512^2 — a 4x
+    oversized padded pair array whose key sort alone cost 1.5 ms/step
+    (K=16: 0.4 ms). This measures the TRUE max rect over every training
+    camera at the initial params and budgets pow2ceil of it (floor
+    K_MIN, cap _k_pairs(n)). Splat extents can grow during training
+    (densify, opacity/scale drift); when the budget starts clipping real
+    overlaps the binner's clipped_rect_pairs counter reports it in
+    metrics.jsonl and the trainer's one-time lossy-render warning fires
+    — raise RenderConfig.sorted_pair_k (or re-run) if that happens.
+    """
+    from tpu_gaussians.ops.common import prepare_splats
+
+    tiles_x = _round_up(width, TWC) // TWC
+    tiles_y = _round_up(height, TH) // TH
+
+    def one(view, proj):
+        s = prepare_splats(g, view, proj, width, height,
+                           footprint=footprint)
+        _, _, _, _, count, _ = _tile_rects(
+            s.px, s.py, s.sigma_x, s.sigma_y, s.op_eff,
+            tiles_x, tiles_y, tiles_x * tiles_y, width, height)
+        return jnp.max(count)
+
+    mx = int(jax.jit(
+        lambda v, p: jnp.max(jax.vmap(one)(v, p)))(views, projs))
+    k = 1 << max(0, int(mx - 1).bit_length())          # pow2ceil(mx)
+    n = g.means.shape[0]
+    return int(min(max(K_MIN, k), _k_pairs(n)))
+
+
 def _exclusive_cumprod(x: Array, axis: int) -> Array:
     """Exclusive cumulative product along `axis` of a 2D tile.
 
@@ -311,7 +346,7 @@ def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
                   tiles_x: int, tiles_y: int, cap: int,
                   width: int, height: int,
                   cutoff: float = ALPHA_CUTOFF, zsort: bool = True,
-                  k: int = 0):
+                  k: int = 0, return_rects: bool = False):
     """Duplicate gaussians into overlapped tiles and build dense,
     priority-ordered per-tile lists — WITHOUT a monolithic pair sort.
 
@@ -488,7 +523,204 @@ def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
     g_rank = (src // chunk_l) * m_per + m_sel // k
     slots = jnp.where(keep, jnp.clip(g_rank, 0, n - 1), n).reshape(-1)
     # (1, n_tiles): 2D so SMEM blocks stay legal under vmap batching.
-    return order, slots, cnt[None, :], stats
+    out = (order, slots, cnt[None, :], stats)
+    if return_rects:
+        # Priority-ordered budget-shrunk rects + per-gaussian tile count
+        # — consumed by the segsum backward's scatter-free segment-end
+        # arithmetic (_kept_prefix_positions).
+        out = out + ((tx_lo, ty_lo, kx_c, ky_c, count),)
+    return out
+
+
+def _slot_reduce_mode() -> str:
+    """Slot->gaussian gradient reduction strategy (r5 VERDICT #1a).
+
+    "segsum" (default): custom-VJP pipeline — sort (slots, iota) once
+    (the same sort XLA's scatter lowering runs), row-gather the grad rows
+    into g-sorted order, SEGMENTED inclusive cumsum by log-doubling
+    (exact: only same-segment adds, max segment length = the pair budget
+    k, so no long-range cancellation), histogram by a sorted one-row
+    scatter, and row-gather each segment's end — replacing the 16-row
+    scatter-add apply (r5 trace: 3.34 ms of the 26.5 ms step at
+    100k/512^2) with ~3x cheaper vectorized work, and folding the
+    priority-permutation backward (its own 1.22 ms n-row scatter-add,
+    pack_gdataT_prio's AD) into a free composed row gather.
+    "plain": the r1-r4 path — XLA AD of the two gathers (scatter-adds).
+    """
+    import os
+
+    return os.environ.get("TPUGS_SLOT_REDUCE", "segsum")
+
+
+def _segment_sums_by_slot(g_t: Array, slots: Array, ends: Array,
+                          max_mult: int) -> Array:
+    """Sum the columns of `g_t` (F, S) lane-dense by destination id
+    `slots` (S,) -> (n_rows, F) row-major, given precomputed segment end
+    positions `ends` (n_rows,) (-1 where the id never occurs; see
+    _kept_prefix_positions — they are pure arithmetic on binner data, so
+    no scatter/searchsorted is needed anywhere in this backward).
+
+    Exact segmented reduction with NO scatter of any width:
+      1. ONE lax.sort keyed on slots CARRYING the F grad rows as value
+         operands (value operands ride the sort nearly free — the same
+         trick the binner uses for its rect inputs; a post-sort row
+         gather of an (S, F) array instead pays the narrow-row 8x tile
+         padding tax, measured 2.59 ms at S=262k vs ~1.2 ms here);
+      2. segmented inclusive cumsum via ceil(log2(max_mult)) lane-wise
+         roll-add passes masked to same-id runs (every add stays within
+         one segment, so precision matches a direct per-segment sum — no
+         prefix-difference cancellation);
+      3. one (n_rows, F) row gather of the ladder output at `ends`,
+         zero-masked where the id never occurs.
+    max_mult: static upper bound on any id's multiplicity (the
+    per-gaussian tile budget k here — a gaussian appears at most once
+    per tile)."""
+    f_rows, s_total = g_t.shape
+    ops = (slots.astype(jnp.int32),) + tuple(
+        g_t[f] for f in range(f_rows))
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    key_sorted = sorted_ops[0]
+    y = jnp.stack(sorted_ops[1:], axis=0)              # (F, S) lane-dense
+    idx = jnp.arange(s_total, dtype=jnp.int32)[None, :]
+    shift = 1
+    while shift < max_mult:
+        same = (key_sorted == jnp.roll(key_sorted, shift))[None, :]
+        y = y + jnp.where(same & (idx >= shift),
+                          jnp.roll(y, shift, axis=1), 0.0)
+        shift *= 2
+    seg = y.T[jnp.clip(ends, 0, s_total - 1)]          # (n_rows, F)
+    return jnp.where((ends >= 0)[:, None], seg, 0.0)
+
+
+def _kept_prefix_positions(rects, cnt_tiles: Array, tiles_x: int,
+                           tiles_y: int, block: int = 8192) -> Array:
+    """Per-id segment END positions of the g-sorted kept-slot array,
+    by pure dense arithmetic on the binner's separable rect indicators —
+    the scatter-free replacement for "last position of id g" (r5: a
+    1-row scatter-max costs 2.29 ms at S=262k on this runtime; this
+    whole pipeline is ~0.4 ms of streamed matrix math).
+
+    Within every tile the kept list is the first cnt[t] entries of its
+    priority-ordered segment and the entry ids are STRICTLY ASCENDING
+    priority ranks (chunk-major generation; at most one pair per
+    (gaussian, tile)). Hence
+        P[g] = #kept entries with id <= g
+             = sum_t min(cumcover[g, t], cnt[t]),
+    where cumcover[g, t] = #gaussians of rank <= g whose (budget-shrunk)
+    rect covers t — a cumulative sum over ranks of the separable 0/1
+    coverage Fy[g,ty] * Fx[g,tx]. The id-g segment (when present) ends
+    at P[g]-1. Streamed over rank blocks with a (T,) running-coverage
+    carry so peak memory is block*T, not n*T.
+
+    rects: (tx_lo, ty_lo, kx_c, ky_c, count) int32 (n,) arrays in
+    priority order (from _bin_pairs_2d). Returns ends (n+1,) int32 with
+    -1 where id g has no kept entries; row n (the dead-slot id) is -1.
+    """
+    tx_lo, ty_lo, kx_c, ky_c, count = rects
+    n = tx_lo.shape[0]
+    n_tiles = tiles_x * tiles_y
+    ty_ax = jnp.arange(tiles_y, dtype=jnp.int32)
+    tx_ax = jnp.arange(tiles_x, dtype=jnp.int32)
+    fy = ((ty_ax[None, :] >= ty_lo[:, None])
+          & (ty_ax[None, :] < (ty_lo + ky_c)[:, None]))
+    fx = ((tx_ax[None, :] >= tx_lo[:, None])
+          & (tx_ax[None, :] < (tx_lo + kx_c)[:, None])
+          & (count > 0)[:, None])
+    nb = (n + block - 1) // block
+    pad = nb * block - n
+    fy = jnp.pad(fy, ((0, pad), (0, 0))).reshape(nb, block, tiles_y)
+    fx = jnp.pad(fx, ((0, pad), (0, 0))).reshape(nb, block, tiles_x)
+    cnt = cnt_tiles.reshape(-1).astype(jnp.int32)      # (T,)
+
+    def body(carry, inp):
+        fyb, fxb = inp
+        cover = (fyb[:, :, None] & fxb[:, None, :]).reshape(
+            block, n_tiles).astype(jnp.int32)
+        run = carry[None, :] + jnp.cumsum(cover, axis=0)
+        p_rows = jnp.sum(jnp.minimum(run, cnt[None, :]), axis=1)
+        return run[-1], p_rows
+
+    _, p = jax.lax.scan(body, jnp.zeros((n_tiles,), jnp.int32), (fy, fx))
+    p = p.reshape(-1)[:n]                              # (n,) inclusive
+    present = jnp.diff(p, prepend=jnp.zeros((1,), jnp.int32)) > 0
+    ends = jnp.where(present, p - 1, -1)
+    return jnp.concatenate([ends, jnp.full((1,), -1, jnp.int32)])
+
+
+@jax.custom_vjp
+def _perm_rows(packed, order, inv):
+    """pack_gdataT_prio's permute with a gather backward: rows of
+    `packed` (n+1, F) reordered to priority order (dead row n kept
+    last). AD of the plain `packed[order]` is an n-row scatter-add
+    (r5 trace: 1.22 ms at 100k); `inv` (the inverse permutation) makes
+    the backward a row gather instead."""
+    return jnp.concatenate([packed[order], packed[-1:]], axis=0)
+
+
+def _perm_rows_fwd(packed, order, inv):
+    return _perm_rows(packed, order, inv), (inv,)
+
+
+def _perm_rows_bwd(res, g):
+    import numpy as np
+
+    (inv,) = res
+    n = inv.shape[0]
+    g_packed = jnp.concatenate([g[:n][inv], g[n:]], axis=0)
+    z = np.zeros(inv.shape, jax.dtypes.float0)
+    return g_packed, z, z
+
+
+_perm_rows.defvjp(_perm_rows_fwd, _perm_rows_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _slot_gather_t(prio, slots, rects, cnt_tiles, tiles_x, tiles_y,
+                   max_mult):
+    """`prio[slots].T` with the backward routed through
+    _segment_sums_by_slot + _kept_prefix_positions instead of XLA's
+    scatter-add AD (r5 trace at 100k/512^2: 3.34 ms apply-scatter +
+    0.20 ms index sort -> ~1.6 ms, scatter-free). rects/cnt_tiles are
+    binner byproducts consumed only by the backward — the forward-only
+    viewer path pays nothing for them."""
+    return prio[slots].T
+
+
+def _slot_gather_t_fwd(prio, slots, rects, cnt_tiles, tiles_x, tiles_y,
+                       max_mult):
+    return prio[slots].T, (slots, rects, cnt_tiles)
+
+
+def _slot_gather_t_bwd(tiles_x, tiles_y, max_mult, res, g):
+    import numpy as np
+
+    slots, rects, cnt_tiles = res
+    ends = _kept_prefix_positions(rects, cnt_tiles, tiles_x, tiles_y)
+    g_prio = _segment_sums_by_slot(g, slots, ends, max_mult)
+    z = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (g_prio, z(slots), jax.tree_util.tree_map(z, rects),
+            z(cnt_tiles))
+
+
+_slot_gather_t.defvjp(_slot_gather_t_fwd, _slot_gather_t_bwd)
+
+
+def list_gather_prio_t(packed, order, inv, slots, rects, cnt_tiles,
+                       tiles_x, tiles_y, max_mult):
+    """Priority-permute `packed` by `order`, row-gather by `slots`,
+    transpose — forward math identical to
+    `pack_gdataT_prio(s, order)[slots].T`, backward scatter-free (see
+    _perm_rows / _slot_gather_t)."""
+    return _slot_gather_t(_perm_rows(packed, order, inv), slots, rects,
+                          cnt_tiles, tiles_x, tiles_y, max_mult)
+
+
+def inverse_permutation(order: Array) -> Array:
+    """inv with inv[order[j]] = j, via one n-element sort."""
+    n = order.shape[0]
+    _, inv = jax.lax.sort((order, jnp.arange(n, dtype=jnp.int32)),
+                          num_keys=1, is_stable=False)
+    return inv
 
 
 def list_gather_t(packed: Array, slots: Array) -> Array:
@@ -610,17 +842,25 @@ def sorted_composite_pallas(
     # gradient flows through it (same stance as CUDA 3DGS); stop_gradient
     # keeps AD away from its non-differentiable bit tricks.
     stop = jax.lax.stop_gradient
-    order, slots, cnt, stats = _bin_pairs_2d(
+    order, slots, cnt, stats, rects = _bin_pairs_2d(
         stop(s.px), stop(s.py), stop(s.sigma_x), stop(s.sigma_y),
         stop(s.op_eff), stop(z_cam),
-        tiles_x, tiles_y, band_capacity, width, height, k=pair_k)
+        tiles_x, tiles_y, band_capacity, width, height, k=pair_k,
+        return_rects=True)
 
     # Row gather fused into the transpose -> ONE lane-dense (GD_ROWS, S)
     # write (a materialized (S, GD_ROWS) array would tile-pad 8x; see
-    # binned.py for the same layout argument). The gather's plain AD is
-    # the backward's slot->gaussian scatter-add (see list_gather_t's
-    # docstring for why alternatives measured WORSE in-graph).
-    gdense_t = list_gather_t(pack_gdataT_prio(s, order), slots)
+    # binned.py for the same layout argument). The backward slot->gaussian
+    # reduction runs through the segsum custom VJP by default (r5; see
+    # _slot_reduce_mode) — TPUGS_SLOT_REDUCE=plain restores the r1-r4
+    # scatter-add AD for A/B.
+    if _slot_reduce_mode() == "segsum":
+        k_eff = pair_k if pair_k > 0 else _k_pairs(n)
+        gdense_t = list_gather_prio_t(
+            pack_gdataT(s), order, inverse_permutation(order), slots,
+            rects, cnt, tiles_x, tiles_y, max(2, k_eff))
+    else:
+        gdense_t = list_gather_t(pack_gdataT_prio(s, order), slots)
 
     acc = _sorted_core(gdense_t, cnt.astype(jnp.int32), tiles_x, n_tiles,
                        chunks_per_tile, axis, exit_t)

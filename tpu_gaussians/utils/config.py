@@ -76,6 +76,10 @@ class FitConfig:
     checkpoint_every: int = 0      # 0 = only final artifacts (reference behavior)
     resume: bool = False           # resume from latest checkpoint in out_dir
     num_view_shards: int = 1       # views axis sharding over the device mesh
+    sorted_pair_k: int = 0         # sorted-mode per-gaussian tile budget;
+                                   # 0 = measured at init (pow2ceil of the
+                                   # true max rect over all cameras,
+                                   # ops/pallas/sorted.py auto_pair_k)
     metrics_jsonl: bool = True     # structured per-step metrics to metrics.jsonl
 
     def to_json(self) -> str:
