@@ -1,4 +1,4 @@
-"""HLO-mapped per-op device-time trace of the SORTED training path
+"""HLO-mapped per-op device-time trace of the SORTED (or accum) training path
 (fwd+bwd through binning + list gather + compositing kernels), the
 instrument VERDICT r4 #1 asks for: the flagship treatment
 (trace_step.py aggregation) pointed at the at-scale path where real
@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--fp", default="axis", choices=["axis", "ewa"])
     ap.add_argument("--hlo", default="", help="dump compiled HLO here")
     ap.add_argument("--pair_k", type=int, default=0)
+    ap.add_argument("--mode", default="sorted", choices=["sorted", "accum"])
     args = ap.parse_args()
 
     import jax
@@ -41,7 +42,7 @@ def main():
 
     from tpu_gaussians.core import camera as cam
     from tpu_gaussians.core.types import Gaussians, RenderConfig
-    from tpu_gaussians.ops.dispatch import render_sorted
+    from tpu_gaussians.ops.dispatch import render_accum, render_sorted
 
     N, W = args.n, args.size
     H = W
@@ -56,13 +57,14 @@ def main():
     )
     c = cam.orbit_cameras(1, W, H)
     view, proj = c.view[0], c.proj[0]
-    rc = RenderConfig(width=W, height=H, impl="pallas", mode="sorted",
+    rc = RenderConfig(width=W, height=H, impl="pallas", mode=args.mode,
                       footprint=args.fp, sorted_pair_k=args.pair_k)
     gcot = jax.random.uniform(ks[5], (H, W, 3), jnp.float32)
 
     def one(gg, cot):
         def f(p):
-            img, alpha, depth = render_sorted(p, view, proj, rc)
+            rfn = render_sorted if args.mode == "sorted" else render_accum
+            img, alpha, depth = rfn(p, view, proj, rc)
             return jnp.sum(img * cot)
         gr = jax.grad(f)(gg)
         return jax.tree_util.tree_reduce(
@@ -106,7 +108,7 @@ def main():
         return
 
     st = args.steps
-    print(f"sorted {args.fp} fwd+bwd n={N} {W}x{H}: "
+    print(f"{args.mode} {args.fp} fwd+bwd n={N} {W}x{H}: "
           f"total device {total/1e3:.2f} ms / {st} steps "
           f"= {total/st/1e3:.3f} ms/step")
     print(f"\n{'op':64s} {'count':>6s} {'ms/step':>8s}")

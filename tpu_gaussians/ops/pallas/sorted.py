@@ -553,7 +553,8 @@ def _slot_reduce_mode() -> str:
 
 
 def _segment_sums_by_slot(g_t: Array, slots: Array, ends: Array,
-                          max_mult: int) -> Array:
+                          max_mult: int,
+                          active_rows: tuple = None) -> Array:
     """Sum the columns of `g_t` (F, S) lane-dense by destination id
     `slots` (S,) -> (n_rows, F) row-major, given precomputed segment end
     positions `ends` (n_rows,) (-1 where the id never occurs; see
@@ -576,11 +577,13 @@ def _segment_sums_by_slot(g_t: Array, slots: Array, ends: Array,
     per-gaussian tile budget k here — a gaussian appears at most once
     per tile)."""
     f_rows, s_total = g_t.shape
+    if active_rows is None:
+        active_rows = tuple(range(f_rows))
     ops = (slots.astype(jnp.int32),) + tuple(
-        g_t[f] for f in range(f_rows))
+        g_t[f] for f in active_rows)
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
     key_sorted = sorted_ops[0]
-    y = jnp.stack(sorted_ops[1:], axis=0)              # (F, S) lane-dense
+    y = jnp.stack(sorted_ops[1:], axis=0)          # (F_act, S) lane-dense
     idx = jnp.arange(s_total, dtype=jnp.int32)[None, :]
     shift = 1
     while shift < max_mult:
@@ -588,8 +591,15 @@ def _segment_sums_by_slot(g_t: Array, slots: Array, ends: Array,
         y = y + jnp.where(same & (idx >= shift),
                           jnp.roll(y, shift, axis=1), 0.0)
         shift *= 2
-    seg = y.T[jnp.clip(ends, 0, s_total - 1)]          # (n_rows, F)
-    return jnp.where((ends >= 0)[:, None], seg, 0.0)
+    seg = y.T[jnp.clip(ends, 0, s_total - 1)]      # (n_rows, F_act)
+    seg = jnp.where((ends >= 0)[:, None], seg, 0.0)
+    if len(active_rows) == f_rows:
+        return seg
+    out = [None] * f_rows
+    for i, f in enumerate(active_rows):
+        out[f] = seg[:, i]
+    zero = jnp.zeros(seg.shape[:1], seg.dtype)
+    return jnp.stack([c if c is not None else zero for c in out], axis=1)
 
 
 def _kept_prefix_positions(rects, cnt_tiles: Array, tiles_x: int,
@@ -674,9 +684,9 @@ def _perm_rows_bwd(res, g):
 _perm_rows.defvjp(_perm_rows_fwd, _perm_rows_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _slot_gather_t(prio, slots, rects, cnt_tiles, tiles_x, tiles_y,
-                   max_mult):
+                   max_mult, active_rows=None):
     """`prio[slots].T` with the backward routed through
     _segment_sums_by_slot + _kept_prefix_positions instead of XLA's
     scatter-add AD (r5 trace at 100k/512^2: 3.34 ms apply-scatter +
@@ -687,16 +697,17 @@ def _slot_gather_t(prio, slots, rects, cnt_tiles, tiles_x, tiles_y,
 
 
 def _slot_gather_t_fwd(prio, slots, rects, cnt_tiles, tiles_x, tiles_y,
-                       max_mult):
+                       max_mult, active_rows=None):
     return prio[slots].T, (slots, rects, cnt_tiles)
 
 
-def _slot_gather_t_bwd(tiles_x, tiles_y, max_mult, res, g):
+def _slot_gather_t_bwd(tiles_x, tiles_y, max_mult, active_rows, res, g):
     import numpy as np
 
     slots, rects, cnt_tiles = res
     ends = _kept_prefix_positions(rects, cnt_tiles, tiles_x, tiles_y)
-    g_prio = _segment_sums_by_slot(g, slots, ends, max_mult)
+    g_prio = _segment_sums_by_slot(g, slots, ends, max_mult,
+                                   active_rows=active_rows)
     z = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return (g_prio, z(slots), jax.tree_util.tree_map(z, rects),
             z(cnt_tiles))
@@ -706,13 +717,18 @@ _slot_gather_t.defvjp(_slot_gather_t_fwd, _slot_gather_t_bwd)
 
 
 def list_gather_prio_t(packed, order, inv, slots, rects, cnt_tiles,
-                       tiles_x, tiles_y, max_mult):
+                       tiles_x, tiles_y, max_mult, active_rows=None):
     """Priority-permute `packed` by `order`, row-gather by `slots`,
     transpose — forward math identical to
     `pack_gdataT_prio(s, order)[slots].T`, backward scatter-free (see
-    _perm_rows / _slot_gather_t)."""
+    _perm_rows / _slot_gather_t). active_rows: static tuple of gdense
+    rows whose cotangent can be nonzero (the backward's value-carrying
+    sort pays per operand, and the pad rows / the axis conic-b row /
+    unused feat-pad rows are structural zeros — ~30% fewer sort
+    operands)."""
     return _slot_gather_t(_perm_rows(packed, order, inv), slots, rects,
-                          cnt_tiles, tiles_x, tiles_y, max_mult)
+                          cnt_tiles, tiles_x, tiles_y, max_mult,
+                          active_rows)
 
 
 def inverse_permutation(order: Array) -> Array:
@@ -856,9 +872,16 @@ def sorted_composite_pallas(
     # scatter-add AD for A/B.
     if _slot_reduce_mode() == "segsum":
         k_eff = pair_k if pair_k > 0 else _k_pairs(n)
+        # Structurally-nonzero cotangent rows: head [px,py,ca,(cb),cc,op]
+        # (cb only for ewa — the axis backward's cross moment is 0) +
+        # the REAL feat columns (pad feat rows get zero cotangents from
+        # the resolve; pad rows 14/15 are zeros by construction).
+        nf = s.feats.shape[1]
+        head = (0, 1, 2, 4, 5) if axis else (0, 1, 2, 3, 4, 5)
+        active = head + tuple(range(6, 6 + nf))
         gdense_t = list_gather_prio_t(
             pack_gdataT(s), order, inverse_permutation(order), slots,
-            rects, cnt, tiles_x, tiles_y, max(2, k_eff))
+            rects, cnt, tiles_x, tiles_y, max(2, k_eff), active)
     else:
         gdense_t = list_gather_t(pack_gdataT_prio(s, order), slots)
 

@@ -1082,6 +1082,30 @@ def _perm_matrix_by_y(py: Array) -> Array:
     return (rank[:, None] == idx[None, :]).astype(jnp.float32)
 
 
+@jax.custom_vjp
+def _perm_cols(cols, order, inv):
+    """`jnp.take(cols, order, axis=1)` with a gather backward: XLA's AD
+    of the column-take is a (13, n) scatter-add measured 0.875 ms at
+    n=100k (r5 accum trace, fusion.126) while the take itself is cheap —
+    `inv` (the inverse permutation) makes the backward another take."""
+    return jnp.take(cols, order, axis=1)
+
+
+def _perm_cols_fwd(cols, order, inv):
+    return jnp.take(cols, order, axis=1), (inv,)
+
+
+def _perm_cols_bwd(res, g):
+    import numpy as _np
+
+    (inv,) = res
+    z = _np.zeros(inv.shape, jax.dtypes.float0)
+    return jnp.take(g, inv, axis=1), z, z
+
+
+_perm_cols.defvjp(_perm_cols_fwd, _perm_cols_bwd)
+
+
 def splat_accumulate(s: SplatInputs, height: int, width: int,
                      sort: bool = True, axis: bool = False) -> Array:
     """Drop-in Pallas replacement for jnp_renderer.accumulate_jnp.
@@ -1124,8 +1148,12 @@ def splat_accumulate(s: SplatInputs, height: int, width: int,
                 cols, r_mat, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision="highest")
         else:
-            order = jnp.argsort(s.py)
-            ps = jnp.take(cols, order, axis=1)
+            iota = jnp.arange(n, dtype=jnp.int32)
+            _, order = jax.lax.sort(
+                (jax.lax.stop_gradient(s.py), iota), num_keys=1)
+            _, inv = jax.lax.sort((order, iota), num_keys=1,
+                                  is_stable=False)
+            ps = _perm_cols(cols, order, inv)
         s = SplatInputs(
             px=ps[0], py=ps[1], conic_a=ps[2], conic_b=ps[3],
             conic_c=ps[4], sigma_x=ps[5], sigma_y=ps[6], op_eff=ps[7],
