@@ -87,14 +87,13 @@ def render_accum(
         n = s.px.shape[0]
         axis = config.footprint == "axis"
         if axis:
-            # r4: the axis dense-sep kernels beat binned at every n
-            # that fits VMEM (BASELINE.md r4 sweep: 100k/1024^2 dense
-            # 26.2 vs binned 63.5 ms; 300k: 97.4 vs 210.7) — the
-            # crossover IS the sep path's VMEM capacity, asked via the
-            # predicate splat.py owns (same test _splat_fwd/_splat_bwd
-            # gate on, so dispatch and kernels never desynchronize).
-            auto_binned = not pallas_splat.sep_path_available(
-                n, config.width)
+            # r4: the axis dense-sep kernels beat binned at every n that
+            # fits VMEM (BASELINE.md r4 sweep: 100k/1024^2 dense 26.2 vs
+            # binned 63.5 ms; 300k: 97.4 vs 210.7). r5: beyond the VMEM
+            # capacity the sep path streams gaussian super-blocks
+            # (splat.py _sep_pass_bounds) — exact and measured faster
+            # than binned at 500k/1M — so binned never auto-serves axis.
+            auto_binned = False
         else:
             auto_binned = n >= pallas_binned.binned_min_n(False)
         use_binned = (config.accum_binned == "on"
@@ -114,8 +113,8 @@ def render_accum(
                 # otherwise emit one warning per scene size and grow
                 # _warned unboundedly in long-lived servers).
                 _warn_ignored("accum_cull/accum_tile_capacity",
-                              "dense pallas (auto chose dense: sep fits "
-                              "VMEM for axis / n < binned_min_n for ewa)")
+                              "dense pallas (auto chose dense: axis "
+                              "always / n < binned_min_n for ewa)")
             acc = pallas_splat.splat_accumulate(
                 s, config.height, config.width, axis=axis,
             )

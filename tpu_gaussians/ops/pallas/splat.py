@@ -327,19 +327,46 @@ def _sep_fits(n_pad: int, wp: int, backward: bool) -> bool:
 
 
 def sep_path_available(n: int, width: int) -> bool:
-    """Public predicate: will the separable axis path serve this problem
-    (fwd AND bwd)? The single source of truth for the dense/binned
-    dispatch choice (ops/dispatch.py) and for _splat_fwd/_splat_bwd's
-    own gates — one deliberately CONSERVATIVE test (backward=True) on
-    both sides: if the forward gated on its larger fwd-only capacity, a
-    500k-gaussian render that later got differentiated would stage sep
-    residuals and then fall back to the v1 spill kernels for the
-    backward (measured 2514 ms @400k/1024^2) instead of dispatch having
-    routed the whole computation to binned. The cost is that
-    forward-only renders in the narrow fwd-fits/bwd-doesn't window
-    (~450-600k @1024^2) take the binned path too."""
+    """Single-pass feasibility of the separable axis path (fwd AND bwd —
+    one deliberately CONSERVATIVE test on both sides: if the forward
+    gated on its larger fwd-only capacity, a beyond-capacity render that
+    later got differentiated would stage sep residuals and then spill to
+    the v1 kernels for the backward, measured 2514 ms @400k/1024^2).
+
+    r5: this is no longer the dense/binned crossover — beyond this
+    capacity the sep path STREAMS gaussian super-blocks through the same
+    band kernels (_sep_passes > 1), exactly (accumulation is
+    order-independent; backward emits per-super-block grads). Binned
+    now serves only the EWA footprint and explicit accum_binned="on"."""
     return _sep_fits(_round_up(n, NB2), _round_up(width, 128),
                      backward=True)
+
+
+def _sep_capacity_blocks(wp: int, rows: int, nb: int,
+                         backward: bool) -> int:
+    """Max super-block size in nb-block units that fits VMEM — the
+    inverse of _sep_fits' resident+temps model."""
+    temps = (wp + FEAT_PAD * rows + 64) * 512 * 4 * 10
+    per = GD_ROWS * 4 * (2 if backward else 1)
+    cap = max(nb, (V2_VMEM_BUDGET - temps) // per)
+    return max(1, int(cap) // nb)
+
+
+def _sep_pass_bounds(n_blocks: int, sbb: int):
+    """Static super-block boundaries [(b0, b1), ...] in nb-block units."""
+    return [(b0, min(n_blocks, b0 + sbb))
+            for b0 in range(0, n_blocks, sbb)]
+
+
+def _sep_pass_ranges(lo, cnt, b0: int, b1: int):
+    """Intersect per-band active block ranges [lo, lo+cnt) with the
+    super-block [b0, b1): y-sorted gaussians make the active set per band
+    contiguous, so the intersection is too — exact, no work duplicated
+    or lost across passes."""
+    hi = lo + cnt
+    lo_s = jnp.clip(lo, b0, b1) - b0
+    hi_s = jnp.clip(hi, b0, b1) - b0
+    return lo_s.astype(jnp.int32), (hi_s - lo_s).astype(jnp.int32)
 
 
 def _v2_block(n: int) -> int:
@@ -581,8 +608,13 @@ def _bwd_call_v2(lo, cnt, gdata, g8, hw_pad: int, width: int,
 # Knee measured at 512^2: 16k R=64 1.6 vs R=16 2.0 ms; 32k R=64 3.5 vs
 # R=16 2.9 ms -> threshold between. TPUGS_SEP_ROWS forces a value for
 # experiments (bench/proto_seprows.py).
+# r5 re-sweep after the permutation-AD fix: R=32 wins or ties R=16 at
+# every at-scale point (100k/512^2: 8.30 vs 8.61 ms; 100k/1024^2: 25.8
+# vs 27.3; 300k/512^2: 25.2 vs 25.5; 32k: tie) and its ~10% VMEM
+# capacity cost stopped mattering once the multi-pass streaming removed
+# the capacity cliff (_sep_pass_bounds) -> SEP_ROWS_LARGE = 32.
 SEP_ROWS_SMALL = 64
-SEP_ROWS_LARGE = 16
+SEP_ROWS_LARGE = 32
 SEP_SMALL_MAX_N = 16_384
 
 
@@ -921,12 +953,25 @@ def _splat_fwd(px, py, ca, cb, cc, op, feats, height, width, axis=False):
     nb, tp = _tile_sizes(n, hw)
     hw_pad = _round_up(hw, tp)
 
-    if axis and sep_path_available(n, width):
+    if axis:
         lo, cnt, gdata, nbs, wp, hp, n_bands, rows = _sep_prep(
             px, py, ca, cb, cc, op, feats, height, width)
-        out = _fwd_call_sep(lo, cnt, gdata, n_bands, wp, nbs, rows)
+        n_blocks = gdata.shape[1] // nbs
+        # Super-block streaming (r5 VERDICT #3): pass size from the
+        # BACKWARD capacity so fwd and bwd take the same pass structure
+        # (and the staged residuals are reusable either way). S == 1 is
+        # the resident single-pass case.
+        sbb = _sep_capacity_blocks(wp, rows, nbs, backward=True)
+        bounds = _sep_pass_bounds(n_blocks, sbb)
+        acc_band = None
+        for b0, b1 in bounds:
+            lo_s, cnt_s = _sep_pass_ranges(lo, cnt, b0, b1)
+            out = _fwd_call_sep(lo_s, cnt_s,
+                                gdata[:, b0 * nbs : b1 * nbs],
+                                n_bands, wp, nbs, rows)
+            acc_band = out if acc_band is None else acc_band + out
         # (n_bands * 8R, Wp) rows (band, f, r) -> (hw, FEAT_DIM) crop.
-        acc = out.reshape(n_bands, FEAT_PAD, rows, wp).transpose(
+        acc = acc_band.reshape(n_bands, FEAT_PAD, rows, wp).transpose(
             0, 2, 3, 1).reshape(hp, wp, FEAT_PAD)[:height, :width]
         acc = acc.reshape(hw, FEAT_PAD)[:, :FEAT_DIM]
         # The backward reuses the staged (lo, cnt, gdata) instead of
@@ -968,7 +1013,7 @@ def _splat_bwd(height, width, axis, residuals, g):
     nb, tp = _tile_sizes(n, hw)
     hw_pad = _round_up(hw, tp)
 
-    if axis and sep_path_available(n, width):
+    if axis:
         if prep is not None:
             lo, cnt, gdata = prep
             nbs, wp, hp, n_bands, rows = _sep_dims(n, height, width)
@@ -981,8 +1026,16 @@ def _splat_bwd(height, width, axis, residuals, g):
                       (0, FEAT_PAD - FEAT_DIM)))
         gband = g8.reshape(n_bands, rows, wp, FEAT_PAD).transpose(
             0, 3, 1, 2).reshape(n_bands * FEAT_PAD * rows, wp)
-        outT = _bwd_call_sep(lo, cnt, gdata, gband, n_bands, wp, nbs,
-                             rows)
+        n_blocks = gdata.shape[1] // nbs
+        sbb = _sep_capacity_blocks(wp, rows, nbs, backward=True)
+        parts = []
+        for b0, b1 in _sep_pass_bounds(n_blocks, sbb):
+            lo_s, cnt_s = _sep_pass_ranges(lo, cnt, b0, b1)
+            parts.append(_bwd_call_sep(
+                lo_s, cnt_s, gdata[:, b0 * nbs : b1 * nbs], gband,
+                n_bands, wp, nbs, rows))
+        outT = parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=1)
         out = outT.T[:n]        # rows [Mdx, Mdy, Mxx, 0, Myy, 0, g_featop]
         mdx, mdy = out[:, 0], out[:, 1]
         mxx, myy = out[:, 2], out[:, 4]
