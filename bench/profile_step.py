@@ -41,12 +41,19 @@ def marginal(jf, args, k1=16, k2=216, reps=2):
     from tpu_gaussians.utils.profiling import device_program_times_us
 
     try:
-        durs = device_program_times_us(lambda: (run(k1), run(k2)))
-        # The scalar fetch emits ~0.6 us jit stub programs into the
-        # trace; the K1/K2 scans are the two LARGEST events.
-        if len(durs) >= 2:
-            d1, d2 = sorted(durs)[-2:]
-            return max((d2 - d1) * 1e-6 / (k2 - k1), 1e-9)
+        # Select the two scan executions BY PROGRAM NAME (the chained
+        # driver below is always `multi` -> trace name "jit_multi"), in
+        # trace order — the r4 rank-by-duration pick could grab an
+        # unrelated program if any fetch/convert event outran the K1
+        # scan (advisor finding). Sanity-gate on d2/d1 ~ k2/k1 before
+        # trusting the pair; otherwise fall through to wall timing.
+        durs = device_program_times_us(lambda: (run(k1), run(k2)),
+                                       prefix="jit_multi")
+        if len(durs) == 2:
+            d1, d2 = durs
+            ratio = d2 / max(d1, 1e-9)
+            if 0.2 * k2 / k1 <= ratio <= 5.0 * k2 / k1:
+                return max((d2 - d1) * 1e-6 / (k2 - k1), 1e-9)
     except Exception:
         pass
     # Fallback: wall marginal (coarse below ~1 ms/stage).

@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--variant", default="gspmd",
                     choices=["gspmd", "shardmap", "overlap"])
     ap.add_argument("--overlap_chunks", type=int, default=4)
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host pod run: jax.distributed bring-up "
+                         "(coordinator from the standard env vars; loud "
+                         "bounded-timeout failure) and a GLOBAL device "
+                         "mesh — see bench/pod_scaling.sh")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +57,15 @@ def main():
     if args.virtual:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.virtual)
+    if args.distributed:
+        from tpu_gaussians.parallel.mesh import initialize_distributed
+
+        initialize_distributed()
+        print(json.dumps({
+            "process": jax.process_index(),
+            "processes": jax.process_count(),
+            "local_devices": len(jax.local_devices()),
+            "global_devices": len(jax.devices())}), flush=True)
 
     from tpu_gaussians.utils.cache import enable_compilation_cache
 
@@ -155,9 +169,22 @@ def main():
 
     if len(sizes) > 1:
         eff = results[sizes[-1]] / (results[1] * sizes[-1])
+        is_pod = args.distributed or (
+            jax.default_backend() == "tpu" and len(devices) > 1)
         print(json.dumps({"metric": "scaling_efficiency",
                           "devices": sizes[-1],
-                          "value": round(eff, 3)}), flush=True)
+                          "value": round(eff, 3),
+                          # The falsifiable docs/ICI_MODEL.md predictions
+                          # printed next to the slot this measurement
+                          # fills (r4 VERDICT #8): only a real multi-chip
+                          # TPU mesh tests them — the virtual CPU mesh
+                          # measures host contention, not ICI.
+                          "ici_model_prediction": (
+                              ">=0.99 weak-scaling at 8-64 chips; "
+                              ">=0.96 anywhere on a v5e pod"),
+                          "prediction_tested": bool(is_pod),
+                          "gate": "config #5 requires >= 0.8"}),
+              flush=True)
 
 
 if __name__ == "__main__":

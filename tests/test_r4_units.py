@@ -96,9 +96,11 @@ class TestResolveRenderMode:
         assert resolve_render_mode(self._cfg(), 1_000_000) == "accum"
 
     def test_ewa_small_is_accum(self):
+        # r5: the sorted/accum speed crossover measured between 2k and
+        # 4k (SORTED_EWA_MIN_CAPACITY=4096); below it accum-dense wins.
         from tpu_gaussians.utils.config import resolve_render_mode
         cfg = self._cfg(footprint="ewa")
-        assert resolve_render_mode(cfg, 10_000) == "accum"
+        assert resolve_render_mode(cfg, 2_000) == "accum"
 
     def test_ewa_at_scale_is_sorted(self):
         from tpu_gaussians.utils.config import (
@@ -118,10 +120,8 @@ class TestResolveRenderMode:
 class TestDotPairB3:
     @pytest.fixture(autouse=True)
     def _force_b3(self, monkeypatch):
-        monkeypatch.setattr(sp, "MM_PRECISION", "b3")
-        sp._mm_precision.cache_clear()
+        monkeypatch.setenv("TPUGS_MM_PRECISION", "b3")
         yield
-        sp._mm_precision.cache_clear()
 
     def test_b3_close_to_exact(self):
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
@@ -142,16 +142,10 @@ class TestDotPairB3:
         b = jax.random.normal(k2, (128, 128), jnp.float32)
         dn = (((1,), (0,)), ((), ()))
         # env override empty -> exact=True must give the f32 answer.
-        import tpu_gaussians.ops.pallas.splat as spp
-        old = spp.MM_PRECISION
-        spp.MM_PRECISION = ""
-        spp._mm_precision.cache_clear()
-        try:
-            got = np.asarray(sp._dot_pair(a, b, dn, exact=True))
-            want = np.asarray(jax.lax.dot_general(
-                a, b, dn, precision="highest",
-                preferred_element_type=jnp.float32))
-            np.testing.assert_allclose(got, want, atol=0, rtol=0)
-        finally:
-            spp.MM_PRECISION = old
-            spp._mm_precision.cache_clear()
+        import os
+        os.environ.pop("TPUGS_MM_PRECISION", None)
+        got = np.asarray(sp._dot_pair(a, b, dn, exact=True))
+        want = np.asarray(jax.lax.dot_general(
+            a, b, dn, precision="highest",
+            preferred_element_type=jnp.float32))
+        np.testing.assert_allclose(got, want, atol=0, rtol=0)

@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--height", type=int, default=128)
     ap.add_argument("--fovy", type=float, default=60.0)
     ap.add_argument("--mode", choices=["accum", "sorted"], default="accum")
+    ap.add_argument("--footprint", choices=["auto", "axis", "ewa"],
+                    default="auto",
+                    help="auto: ewa when the model carries quaternions "
+                         "(an EWA-trained model evaluated under the axis "
+                         "footprint silently drops its rotations)")
     ap.add_argument("--impl", choices=["auto", "jnp", "pallas"],
                     default="auto")
     ap.add_argument("--out", default="",
@@ -68,8 +73,11 @@ def main(argv=None) -> None:
         cameras = cam.orbit_cameras(v, args.width, args.height,
                                     fovy_deg=args.fovy)
 
+    fp = args.footprint
+    if fp == "auto":
+        fp = "ewa" if g.quats is not None else "axis"
     config = RenderConfig(width=args.width, height=args.height,
-                          mode=args.mode, impl=args.impl)
+                          mode=args.mode, impl=args.impl, footprint=fp)
 
     from tpu_gaussians.ops.dispatch import render
     from tpu_gaussians.core.types import Camera
@@ -98,6 +106,7 @@ def main(argv=None) -> None:
                  "l1": float(l1.mean())},
         "num_gaussians": int(g.means.shape[0]),
         "mode": args.mode,
+        "footprint": fp,
         "size": [args.width, args.height],
     }
     for row in report["views"]:

@@ -200,5 +200,18 @@ def render(
         return (image, alpha, depth) if config.return_aux else image
 
     if camera.batched:
-        return jax.vmap(render_one)(camera.view, camera.proj)
+        # Sequential lax.map, NOT vmap: batch-vmapping the sorted Pallas
+        # pipeline hits a deterministic TPU-runtime kernel fault at
+        # specific (n, views) shape combinations (r5 bisect: n=17678 or
+        # 17920 x 6 views @256^2 crashes the worker; 17408x6, 17678x5,
+        # and 32768x6 all run; CPU-interpret, the binner alone, and the
+        # kernel alone with synthetic data are all clean — a fused-graph
+        # resonance in the closed runtime, not an indexing bug). The
+        # training path (fit/loss.py) keeps its vmap: it runs at
+        # 512-aligned capacity shapes, which measured clean, and its
+        # throughput depends on cross-view batching. Rendering here is
+        # kernel-bound per view, so the sequential map costs little.
+        return jax.lax.map(
+            lambda vp: render_one(vp[0], vp[1]),
+            (camera.view, camera.proj))
     return render_one(camera.view, camera.proj)

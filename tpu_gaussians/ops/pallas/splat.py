@@ -73,13 +73,20 @@ W_CULL = 1e-14
 #   "default" 1 bf16 pass (~4e-3 — measurement-only, fails parity).
 # Mosaic rejects lax.Precision.HIGH, hence the hand-rolled b3 split.
 import os as _os
-MM_PRECISION = _os.environ.get("TPUGS_MM_PRECISION", "")
 
 
-@functools.lru_cache(maxsize=None)
+def _mm_env() -> str:
+    # Re-read at every call (like TPUGS_SEP_ROWS) so an experimenter
+    # forcing a precision mid-process is honored — the r4 import-time
+    # freeze silently ignored late env changes (advisor finding). The
+    # value only affects TRACING, so there is no hot-path cost.
+    return _os.environ.get("TPUGS_MM_PRECISION", "")
+
+
 def _mm_precision() -> str:
-    if MM_PRECISION:
-        return MM_PRECISION
+    env = _mm_env()
+    if env:
+        return env
     return "b3" if jax.default_backend() == "tpu" else "highest"
 
 
@@ -98,7 +105,7 @@ def _dot_pair(a, b, dimension_numbers, exact=False):
     factors — the EWA means-grad delta measured 1.5e-4 under b3, past
     the 1e-4 compiled gate, where the separable axis kernels measured
     3.2e-5 (2x inside it)."""
-    prec = "highest" if (exact and not MM_PRECISION) else _mm_precision()
+    prec = "highest" if (exact and not _mm_env()) else _mm_precision()
     if prec != "b3":
         return jax.lax.dot_general(
             a, b, dimension_numbers=dimension_numbers,
@@ -1120,13 +1127,15 @@ def _perm_matrix_by_y(py: Array) -> Array:
     R[j, p] = 1 iff element j lands at sorted position p (ties broken by
     index, matching jnp.argsort's stability).
 
-    Contract: py must be finite. A NaN would rank 0 alongside every
-    other NaN (all comparisons false), collapsing R rows onto the same
-    position — i.e. silently DROPPING gaussians, a worse failure than
-    argsort's NaNs-last. prepare_splats guarantees finiteness (safe-w
-    divide, torch_renderer.py:66-68 semantics); utils/debug's
-    assert_finite is the debug-mode guard."""
+    NaN inputs are sanitized to +inf first (one cheap (n,) select), so
+    non-finite py reproduces argsort's NaNs-LAST ordering instead of
+    collapsing permutation rows (all NaN comparisons are false, which
+    would rank every NaN 0 and silently DROP gaussians — r4 advisor
+    finding). prepare_splats guarantees finiteness anyway (safe-w
+    divide, torch_renderer.py:66-68 semantics); this keeps the
+    permutation a permutation even if that upstream contract changes."""
     n = py.shape[0]
+    py = jnp.where(jnp.isnan(py), jnp.inf, py)
     idx = jnp.arange(n, dtype=jnp.int32)
     lt = py[:, None] < py[None, :]          # lt[i, j]: py_i before py_j
     eq = py[:, None] == py[None, :]
@@ -1174,7 +1183,18 @@ def splat_accumulate(s: SplatInputs, height: int, width: int,
     block, (W+R)*NB exps instead of W*R*NB).
     """
     n = s.px.shape[0]
-    if sort and n > 512:
+    # r5: small scenes skip the y-sort ENTIRELY. At n <= SORT_MM_MAX the
+    # gaussians span <= 4 nb-blocks, so the band/block cull ranges are
+    # (near-)full-width with or without y-coherence — the flagship trace
+    # showed the mask dense — and the sort machinery is pure overhead:
+    # bench.py measured 104.2 -> 95.3 us/step (629 -> 688 Mpix/s) with
+    # the sort dropped at n=1200. This retires the r4
+    # permutation-as-matmul path from the hot loop (it only served
+    # n <= SORT_MM_MAX; _perm_matrix_by_y stays tested for reuse). The
+    # worst case against this choice is a y-concentrated scene at <= 4
+    # blocks, bounded at 4x of a tiny kernel; at n > SORT_MM_MAX the
+    # cheap argsort path keeps the at-scale culling win (~10x).
+    if sort and n > SORT_MM_MAX:
         # ONE packed lane-dense permute instead of per-leaf gathers: the
         # 13 separate (n,) gathers + their AD scatters cost ~8 us of
         # fixed overhead EACH on this runtime (~115 us/step at bench
@@ -1184,29 +1204,12 @@ def splat_accumulate(s: SplatInputs, height: int, width: int,
             [s.px, s.py, s.conic_a, s.conic_b, s.conic_c,
              s.sigma_x, s.sigma_y, s.op_eff]
             + [s.feats[:, f] for f in range(s.feats.shape[1])], axis=0)
-        if n <= SORT_MM_MAX:
-            # Small n: the sort IS a permutation matrix. Rank each
-            # gaussian by O(n^2) VPU comparisons (stable: index
-            # tiebreak), build the exact 0/1 matrix R[j, rank_j] = 1,
-            # and apply the permutation as an MXU matmul. AD of
-            # cols @ R is g @ R^T — ANOTHER matmul, so the whole
-            # sort+gather+scatter chain (measured 6.3 + 3.0 + 11.0 us
-            # at bench scale; sort.33 / fusion.153 / fusion.158 in the
-            # r4 step trace) becomes ~3 us of rank + two permute
-            # matmuls. precision="highest" is exactness: one-hot rows
-            # make each output a single product, and 6-pass products
-            # are f32-exact (b3/default would round cols to bf16).
-            r_mat = _perm_matrix_by_y(jax.lax.stop_gradient(s.py))
-            ps = jax.lax.dot_general(
-                cols, r_mat, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision="highest")
-        else:
-            iota = jnp.arange(n, dtype=jnp.int32)
-            _, order = jax.lax.sort(
-                (jax.lax.stop_gradient(s.py), iota), num_keys=1)
-            _, inv = jax.lax.sort((order, iota), num_keys=1,
-                                  is_stable=False)
-            ps = _perm_cols(cols, order, inv)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        _, order = jax.lax.sort(
+            (jax.lax.stop_gradient(s.py), iota), num_keys=1)
+        _, inv = jax.lax.sort((order, iota), num_keys=1,
+                              is_stable=False)
+        ps = _perm_cols(cols, order, inv)
         s = SplatInputs(
             px=ps[0], py=ps[1], conic_a=ps[2], conic_b=ps[3],
             conic_c=ps[4], sigma_x=ps[5], sigma_y=ps[6], op_eff=ps[7],

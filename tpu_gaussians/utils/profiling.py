@@ -52,9 +52,15 @@ def load_trace_events(logdir: str):
                  and e.get("name") == "process_name"}
     device_pids = {p for p, n in pid_names.items()
                    if "TPU" in n or "/device" in n.lower()}
+    if not device_pids:
+        # No device-side track (CPU run / trace-format change): return
+        # NOTHING rather than every host event — callers (bench.py's
+        # device_us_per_step headline) must fall back to their wall-clock
+        # path EXPLICITLY instead of silently labelling host durations
+        # as device time (r4 advisor finding).
+        return []
     return [e for e in events
-            if e.get("ph") == "X"
-            and (not device_pids or e.get("pid") in device_pids)]
+            if e.get("ph") == "X" and e.get("pid") in device_pids]
 
 
 def device_program_times_us(fn, prefix: str = "jit_"):
