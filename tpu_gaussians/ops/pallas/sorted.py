@@ -519,7 +519,23 @@ def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
     # order[g_rank] here would be a second (tiles*cap)-element gather,
     # measured ~7 ms at 1M slots; permuting the n packed rows once is a
     # cheap row gather instead.
-    m_sel = key_s.reshape(-1)[src] & ((1 << lbits) - 1)
+    #
+    # The lookup itself is a 128-wide row gather + one-hot lane select,
+    # NOT a flat element gather: XLA's element gather prices at a
+    # serialized ~7.2 ns/index on this runtime regardless of table size,
+    # while gathering the (tot/128, 128) row containing each index and
+    # selecting the lane measures 2.4-4.6x cheaper (0.41-0.78 ms vs
+    # 1.88 ms at S=262k — bench log; the win grows with the ~30-long
+    # ascending src runs each (chunk, tile) segment contributes, since
+    # consecutive slots then hit the same physical row).
+    tot = c_chunks * chunk_l
+    key_flat = jnp.pad(key_s.reshape(-1), (0, (-tot) % 128))
+    src_fl = src.reshape(-1)
+    rows = key_flat.reshape(-1, 128)[src_fl // 128]       # (S, 128)
+    lane = (jnp.arange(128, dtype=jnp.int32)[None, :]
+            == (src_fl % 128)[:, None])
+    m_sel = jnp.sum(jnp.where(lane, rows, 0), axis=1).reshape(
+        src.shape) & ((1 << lbits) - 1)
     g_rank = (src // chunk_l) * m_per + m_sel // k
     slots = jnp.where(keep, jnp.clip(g_rank, 0, n - 1), n).reshape(-1)
     # (1, n_tiles): 2D so SMEM blocks stay legal under vmap batching.
