@@ -46,7 +46,7 @@ def main():
     model_blocks = sp._sep_capacity_blocks(wp, rows, nb, backward=True)
     print(f"wp={wp} rows={rows}: model capacity = {model_blocks * nb} "
           f"({model_blocks} blocks of {nb}; budget "
-          f"{sp.V2_VMEM_BUDGET // (1024*1024)} MB model vs "
+          f"{sp.SEP_VMEM_BUDGET // (1024*1024)} MB model vs "
           f"100 MB Mosaic limit)")
 
     for m in [float(x) for x in args.mults.split(",")]:

