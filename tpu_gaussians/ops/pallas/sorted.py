@@ -414,9 +414,13 @@ def _bin_pairs_2d(px, py, sigma_x, sigma_y, op_eff, z_cam,
     # a packed row gather — a (n, 8) row-major array tile-pads 16x — and
     # ~35 ms as per-column 1-D gathers (measured, v5e).
     prio = _zkey_desc(z_cam) if zsort else _zkey_desc(op_eff)
+    # num_keys=2 + unstable: (prio, index) keys are unique, so the
+    # permutation is EXACTLY the stable-by-prio order while skipping the
+    # stable sort's extra passes (r5: 2.89 -> measured below at 1M; the
+    # binner's chunk sort uses the same trick).
     _, order, pxs, pys, sxs, sys_, ops = jax.lax.sort(
         (prio, jnp.arange(n, dtype=jnp.int32),
-         px, py, sigma_x, sigma_y, op_eff), num_keys=1)
+         px, py, sigma_x, sigma_y, op_eff), num_keys=2, is_stable=False)
 
     tx_lo, ty_lo, kx_c, ky_c, count, clipped = _tile_rects(
         pxs, pys, sxs, sys_, ops,
@@ -750,6 +754,79 @@ def _slot_gather_t_bwd(tiles_x, tiles_y, max_mult, active_rows, res, g):
 _slot_gather_t.defvjp(_slot_gather_t_fwd, _slot_gather_t_bwd)
 
 
+def _lookup128(table: Array, idx: Array) -> Array:
+    """`table[idx]` for a 1-D int32 table via a 128-wide row gather +
+    one-hot lane select. XLA's flat element gather serializes at
+    ~7.2 ns/index on this runtime regardless of table size; gathering
+    the physical (128,) row containing each index and selecting the
+    lane measures 2.4-4.6x cheaper at S~262k — and better still when
+    consecutive indices land in the same row, which per-tile slot runs
+    (ascending priority ranks) do. Same trick as _bin_pairs_2d's
+    priority-rank recovery."""
+    tot = table.shape[0]
+    tf = jnp.pad(table, (0, (-tot) % 128))
+    rows = tf.reshape(-1, 128)[idx // 128]          # (S, 128)
+    lane = (jnp.arange(128, dtype=jnp.int32)[None, :]
+            == (idx % 128)[:, None])
+    return jnp.sum(jnp.where(lane, rows, 0), axis=1)
+
+
+COMPOSE_GATHER_MIN_N = 262_144  # n >= this: compose the priority
+# permutation INTO the slot gather (packed[order][slots] ==
+# packed[order_ext[slots]]) instead of materializing the permuted
+# table. At 1M/960x540 XLA lays the (n+1, 16) permutation gather out
+# column-major and it balloons to 6.5 ms/frame (r5 trace_viewer); the
+# composed path replaces it with a _lookup128 of order at S slots
+# (~0.7 ms). At 100k/512^2 the permutation gather is row-major and
+# cheap (0.14 ms), and composing would ADD the lookup cost — hence the
+# threshold. TPUGS_COMPOSE_MIN_N overrides for A/B.
+
+
+def _compose_gather_min_n() -> int:
+    import os
+
+    return int(os.environ.get("TPUGS_COMPOSE_MIN_N",
+                              COMPOSE_GATHER_MIN_N))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _slot_gather_comp(packed, order_ext, inv, slots, rects, cnt_tiles,
+                      tiles_x, tiles_y, max_mult, active_rows=None):
+    """`packed[order_ext[slots]].T` — the composed form of
+    _perm_rows + _slot_gather_t (one S-row gather instead of an n-row
+    permutation gather plus an S-row gather). Backward identical to the
+    two-step path: segment-sum by slot (priority-rank space), then the
+    inverse permutation as a row gather."""
+    return packed[_lookup128(order_ext, slots)].T
+
+
+def _slot_gather_comp_fwd(packed, order_ext, inv, slots, rects,
+                          cnt_tiles, tiles_x, tiles_y, max_mult,
+                          active_rows=None):
+    out = _slot_gather_comp(packed, order_ext, inv, slots, rects,
+                            cnt_tiles, tiles_x, tiles_y, max_mult,
+                            active_rows)
+    return out, (inv, slots, rects, cnt_tiles)
+
+
+def _slot_gather_comp_bwd(tiles_x, tiles_y, max_mult, active_rows, res,
+                          g):
+    import numpy as np
+
+    inv, slots, rects, cnt_tiles = res
+    ends = _kept_prefix_positions(rects, cnt_tiles, tiles_x, tiles_y)
+    g_prio = _segment_sums_by_slot(g, slots, ends, max_mult,
+                                   active_rows=active_rows)
+    n = inv.shape[0]
+    g_packed = jnp.concatenate([g_prio[:n][inv], g_prio[n:]], axis=0)
+    z = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (g_packed, np.zeros((n + 1,), jax.dtypes.float0), z(inv),
+            z(slots), jax.tree_util.tree_map(z, rects), z(cnt_tiles))
+
+
+_slot_gather_comp.defvjp(_slot_gather_comp_fwd, _slot_gather_comp_bwd)
+
+
 def list_gather_prio_t(packed, order, inv, slots, rects, cnt_tiles,
                        tiles_x, tiles_y, max_mult, active_rows=None):
     """Priority-permute `packed` by `order`, row-gather by `slots`,
@@ -759,7 +836,16 @@ def list_gather_prio_t(packed, order, inv, slots, rects, cnt_tiles,
     rows whose cotangent can be nonzero (the backward's value-carrying
     sort pays per operand, and the pad rows / the axis conic-b row /
     unused feat-pad rows are structural zeros — ~30% fewer sort
-    operands)."""
+    operands). At n >= COMPOSE_GATHER_MIN_N the permutation is composed
+    into the slot gather instead of materialized (layout pathology at
+    1M — see COMPOSE_GATHER_MIN_N)."""
+    n = order.shape[0]
+    if n >= _compose_gather_min_n():
+        order_ext = jnp.concatenate(
+            [order, jnp.full((1,), n, jnp.int32)])
+        return _slot_gather_comp(packed, order_ext, inv, slots, rects,
+                                 cnt_tiles, tiles_x, tiles_y, max_mult,
+                                 active_rows)
     return _slot_gather_t(_perm_rows(packed, order, inv), slots, rects,
                           cnt_tiles, tiles_x, tiles_y, max_mult,
                           active_rows)
