@@ -695,65 +695,6 @@ def _kept_prefix_positions(rects, cnt_tiles: Array, tiles_x: int,
     return jnp.concatenate([ends, jnp.full((1,), -1, jnp.int32)])
 
 
-@jax.custom_vjp
-def _perm_rows(packed, order, inv):
-    """pack_gdataT_prio's permute with a gather backward: rows of
-    `packed` (n+1, F) reordered to priority order (dead row n kept
-    last). AD of the plain `packed[order]` is an n-row scatter-add
-    (r5 trace: 1.22 ms at 100k); `inv` (the inverse permutation) makes
-    the backward a row gather instead."""
-    return jnp.concatenate([packed[order], packed[-1:]], axis=0)
-
-
-def _perm_rows_fwd(packed, order, inv):
-    return _perm_rows(packed, order, inv), (inv,)
-
-
-def _perm_rows_bwd(res, g):
-    import numpy as np
-
-    (inv,) = res
-    n = inv.shape[0]
-    g_packed = jnp.concatenate([g[:n][inv], g[n:]], axis=0)
-    z = np.zeros(inv.shape, jax.dtypes.float0)
-    return g_packed, z, z
-
-
-_perm_rows.defvjp(_perm_rows_fwd, _perm_rows_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _slot_gather_t(prio, slots, rects, cnt_tiles, tiles_x, tiles_y,
-                   max_mult, active_rows=None):
-    """`prio[slots].T` with the backward routed through
-    _segment_sums_by_slot + _kept_prefix_positions instead of XLA's
-    scatter-add AD (r5 trace at 100k/512^2: 3.34 ms apply-scatter +
-    0.20 ms index sort -> ~1.6 ms, scatter-free). rects/cnt_tiles are
-    binner byproducts consumed only by the backward — the forward-only
-    viewer path pays nothing for them."""
-    return prio[slots].T
-
-
-def _slot_gather_t_fwd(prio, slots, rects, cnt_tiles, tiles_x, tiles_y,
-                       max_mult, active_rows=None):
-    return prio[slots].T, (slots, rects, cnt_tiles)
-
-
-def _slot_gather_t_bwd(tiles_x, tiles_y, max_mult, active_rows, res, g):
-    import numpy as np
-
-    slots, rects, cnt_tiles = res
-    ends = _kept_prefix_positions(rects, cnt_tiles, tiles_x, tiles_y)
-    g_prio = _segment_sums_by_slot(g, slots, ends, max_mult,
-                                   active_rows=active_rows)
-    z = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return (g_prio, z(slots), jax.tree_util.tree_map(z, rects),
-            z(cnt_tiles))
-
-
-_slot_gather_t.defvjp(_slot_gather_t_fwd, _slot_gather_t_bwd)
-
-
 def _lookup128(table: Array, idx: Array) -> Array:
     """`table[idx]` for a 1-D int32 table via a 128-wide row gather +
     one-hot lane select. XLA's flat element gather serializes at
@@ -771,15 +712,19 @@ def _lookup128(table: Array, idx: Array) -> Array:
     return jnp.sum(jnp.where(lane, rows, 0), axis=1)
 
 
-COMPOSE_GATHER_MIN_N = 262_144  # n >= this: compose the priority
-# permutation INTO the slot gather (packed[order][slots] ==
-# packed[order_ext[slots]]) instead of materializing the permuted
-# table. At 1M/960x540 XLA lays the (n+1, 16) permutation gather out
-# column-major and it balloons to 6.5 ms/frame (r5 trace_viewer); the
-# composed path replaces it with a _lookup128 of order at S slots
-# (~0.7 ms). At 100k/512^2 the permutation gather is row-major and
-# cheap (0.14 ms), and composing would ADD the lookup cost — hence the
-# threshold. TPUGS_COMPOSE_MIN_N overrides for A/B.
+COMPOSE_GATHER_MIN_N = 262_144  # forward-only renders at n >= this
+# compose the priority permutation INTO the slot gather
+# (packed[order][slots] == packed[order_ext[slots]]) instead of
+# materializing the permuted table. At 1M/960x540 XLA lays the
+# (n+1, 16) permutation gather out column-major and it balloons to
+# 6.5 ms/frame (r5 trace_viewer; the same op is row-major and 0.14 ms
+# at 100k); the composed path replaces it with a _lookup128 of order at
+# S slots (~0.7 ms): viewer frame 19.1 -> 13.2 ms @1M. UNDER AD the
+# two-step path is used at EVERY n: order_ext[slots] values are the
+# ORIGINAL ids (random), destroying the ascending-run locality the
+# materialized slot gather enjoys — training fwd+bwd at 300k/512^2
+# measured 33.5 ms two-step vs 40.4 composed. TPUGS_COMPOSE_MIN_N
+# overrides for A/B.
 
 
 def _compose_gather_min_n() -> int:
@@ -789,27 +734,51 @@ def _compose_gather_min_n() -> int:
                               COMPOSE_GATHER_MIN_N))
 
 
+def _two_step_prio_gather(packed, order_ext, slots):
+    """Materialize the priority-permuted table, then slot-row-gather.
+    Both gathers are row gathers with good locality: the permutation
+    writes n contiguous rows, and slots ascend (priority ranks) within
+    each tile segment."""
+    prio = jnp.concatenate([packed[order_ext[:-1]], packed[-1:]],
+                           axis=0)
+    return prio[slots].T
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def _slot_gather_comp(packed, order_ext, inv, slots, rects, cnt_tiles,
+def _prio_slot_gather(packed, order_ext, inv, slots, rects, cnt_tiles,
                       tiles_x, tiles_y, max_mult, active_rows=None):
-    """`packed[order_ext[slots]].T` — the composed form of
-    _perm_rows + _slot_gather_t (one S-row gather instead of an n-row
-    permutation gather plus an S-row gather). Backward identical to the
-    two-step path: segment-sum by slot (priority-rank space), then the
-    inverse permutation as a row gather."""
-    return packed[_lookup128(order_ext, slots)].T
+    """`pack_gdataT(s)[order][slots].T` with a path split the compiler
+    cannot make:
+
+    - PRIMAL (forward-only renders — the viewer): composed single
+      gather `packed[_lookup128(order_ext, slots)].T` at
+      n >= COMPOSE_GATHER_MIN_N (layout pathology evidence at the
+      constant), two-step below.
+    - AD (custom_vjp fwd): always the two-step materialized path —
+      measured faster at every training scale (see
+      COMPOSE_GATHER_MIN_N). Identical values, so the primal/fwd split
+      is sound.
+    - Backward: scatter-free — _segment_sums_by_slot in priority-rank
+      space (value-carrying sort + masked roll-add ladder + arithmetic
+      segment ends from binner byproducts; replaces the 3.34 ms
+      scatter-add AD at 100k/512^2 and the permutation's own 1.22 ms
+      n-row scatter-add), then the inverse permutation as a row
+      gather. rects/cnt_tiles are consumed only here — forward-only
+      callers pay nothing for them."""
+    n = inv.shape[0]
+    if n >= _compose_gather_min_n():
+        return packed[_lookup128(order_ext, slots)].T
+    return _two_step_prio_gather(packed, order_ext, slots)
 
 
-def _slot_gather_comp_fwd(packed, order_ext, inv, slots, rects,
+def _prio_slot_gather_fwd(packed, order_ext, inv, slots, rects,
                           cnt_tiles, tiles_x, tiles_y, max_mult,
                           active_rows=None):
-    out = _slot_gather_comp(packed, order_ext, inv, slots, rects,
-                            cnt_tiles, tiles_x, tiles_y, max_mult,
-                            active_rows)
-    return out, (inv, slots, rects, cnt_tiles)
+    return (_two_step_prio_gather(packed, order_ext, slots),
+            (inv, slots, rects, cnt_tiles))
 
 
-def _slot_gather_comp_bwd(tiles_x, tiles_y, max_mult, active_rows, res,
+def _prio_slot_gather_bwd(tiles_x, tiles_y, max_mult, active_rows, res,
                           g):
     import numpy as np
 
@@ -824,31 +793,25 @@ def _slot_gather_comp_bwd(tiles_x, tiles_y, max_mult, active_rows, res,
             z(slots), jax.tree_util.tree_map(z, rects), z(cnt_tiles))
 
 
-_slot_gather_comp.defvjp(_slot_gather_comp_fwd, _slot_gather_comp_bwd)
+_prio_slot_gather.defvjp(_prio_slot_gather_fwd, _prio_slot_gather_bwd)
 
 
 def list_gather_prio_t(packed, order, inv, slots, rects, cnt_tiles,
                        tiles_x, tiles_y, max_mult, active_rows=None):
     """Priority-permute `packed` by `order`, row-gather by `slots`,
     transpose — forward math identical to
-    `pack_gdataT_prio(s, order)[slots].T`, backward scatter-free (see
-    _perm_rows / _slot_gather_t). active_rows: static tuple of gdense
-    rows whose cotangent can be nonzero (the backward's value-carrying
-    sort pays per operand, and the pad rows / the axis conic-b row /
-    unused feat-pad rows are structural zeros — ~30% fewer sort
-    operands). At n >= COMPOSE_GATHER_MIN_N the permutation is composed
-    into the slot gather instead of materialized (layout pathology at
-    1M — see COMPOSE_GATHER_MIN_N)."""
+    `pack_gdataT_prio(s, order)[slots].T`, backward scatter-free, and
+    the forward composed into one gather for large forward-only
+    renders (see _prio_slot_gather). active_rows: static tuple of
+    gdense rows whose cotangent can be nonzero (the backward's
+    value-carrying sort pays per operand, and the pad rows / the axis
+    conic-b row / unused feat-pad rows are structural zeros — ~30%
+    fewer sort operands)."""
     n = order.shape[0]
-    if n >= _compose_gather_min_n():
-        order_ext = jnp.concatenate(
-            [order, jnp.full((1,), n, jnp.int32)])
-        return _slot_gather_comp(packed, order_ext, inv, slots, rects,
-                                 cnt_tiles, tiles_x, tiles_y, max_mult,
-                                 active_rows)
-    return _slot_gather_t(_perm_rows(packed, order, inv), slots, rects,
-                          cnt_tiles, tiles_x, tiles_y, max_mult,
-                          active_rows)
+    order_ext = jnp.concatenate([order, jnp.full((1,), n, jnp.int32)])
+    return _prio_slot_gather(packed, order_ext, inv, slots, rects,
+                             cnt_tiles, tiles_x, tiles_y, max_mult,
+                             active_rows)
 
 
 def inverse_permutation(order: Array) -> Array:
